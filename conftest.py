@@ -1,0 +1,20 @@
+# Test configuration: run the suite on a virtual 8-device CPU mesh so that
+# multi-chip sharding paths are exercised without TPU hardware, and enable
+# x64 so deterministic-solver tests can validate against the reference's
+# float64 CPU oracle (reference uses double on CPU, src/common.hpp).
+#
+# Note: the environment pre-imports jax via sitecustomize with
+# JAX_PLATFORMS=axon (the real TPU chip), so env vars are too late here —
+# use jax.config.update, which takes effect as long as no backend has been
+# initialized yet. Opt back into the real chip with LBFGS_TPU_TESTS=1.
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402  (already imported by sitecustomize; config still mutable)
+
+if not os.environ.get("LBFGS_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,186 @@
+"""Flat-parameter dense MLP objective.
+
+The reference evaluates its MLP with hand-rolled per-layer forward/backward
+over a contiguous flat parameter buffer (reference: src/network.hpp,
+src/layer.hpp for CPU; src/cuda/{network,layer}.cuh for CUDA). Here the
+network is a pure function of the flat parameter vector: the forward pass is
+a chain of MXU matmuls, gradients come from ``jax.value_and_grad`` (one fused
+forward+backward XLA program), and HVPs from exact ``jax.jvp``.
+
+The flat layout is kept — quasi-Newton solvers want a single contiguous
+vector for their O(m*n) vector arithmetic — with static (offset, shape)
+metadata per layer replacing the reference's bound Eigen::Map views
+(reference: src/layer.hpp:76-83).
+
+Conventions preserved from the reference:
+  * loss = 0.5*||out - y||^2 / batch  (reference: src/unified_optimization.hpp:101-108)
+  * init std = act_scale * sqrt(1/fan_in), act_scale = sqrt(2) for ReLU else 1
+    (reference: src/layer.hpp:16-47,130)
+  * CPU backend randomizes biases, CUDA zeroes them — both available via
+    ``bias_init`` (reference: src/network.hpp:64-69 vs src/cuda/network.cuh:52-53)
+  * optional L2 term 0.5*lam*||w||^2 as used by S-LBFGS training
+    (reference: src/unified_optimization.hpp:334,375,398)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from lbfgs_ffnn_tpu.types import BatchProblem, Problem, make_batch_problem, make_problem
+
+_ACTIVATIONS = {
+    "linear": lambda z: z,
+    "relu": lambda z: jnp.maximum(z, 0.0),
+    "sigmoid": jax.nn.sigmoid,
+    "tanh": jnp.tanh,
+}
+
+# He-style init scale per activation (reference: src/layer.hpp Linear/ReLU/
+# Sigmoid/Tanh ::scale).
+_INIT_SCALE = {
+    "linear": 1.0,
+    "relu": math.sqrt(2.0),
+    "sigmoid": 1.0,
+    "tanh": 1.0,
+}
+
+
+class MLPSpec(NamedTuple):
+    """Static architecture description: ``dims[i] -> dims[i+1]`` per layer."""
+
+    dims: tuple[int, ...]
+    activations: tuple[str, ...]
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.dims) - 1
+
+    @property
+    def n_params(self) -> int:
+        return sum(
+            self.dims[i] * self.dims[i + 1] + self.dims[i + 1]
+            for i in range(self.n_layers)
+        )
+
+    def layer_slices(self):
+        """Yield (w_offset, b_offset, in_dim, out_dim) per layer."""
+        off = 0
+        for i in range(self.n_layers):
+            d_in, d_out = self.dims[i], self.dims[i + 1]
+            yield off, off + d_in * d_out, d_in, d_out
+            off += d_in * d_out + d_out
+
+
+def mlp_spec(dims: Sequence[int], activations: Sequence[str]) -> MLPSpec:
+    dims = tuple(int(d) for d in dims)
+    activations = tuple(a.lower() for a in activations)
+    if len(activations) != len(dims) - 1:
+        raise ValueError("need one activation per layer")
+    for a in activations:
+        if a not in _ACTIVATIONS:
+            raise ValueError(f"unknown activation {a!r}")
+    return MLPSpec(dims=dims, activations=activations)
+
+
+def mlp_init(
+    spec: MLPSpec,
+    key: jax.Array,
+    dtype=jnp.float32,
+    bias_init: str = "random",
+) -> jax.Array:
+    """Seeded N(0, sigma) init into one flat vector.
+
+    ``bias_init='random'`` draws biases from the same distribution as weights
+    (reference CPU convention); ``'zeros'`` zeroes them (reference CUDA
+    convention).
+    """
+    parts = []
+    keys = jax.random.split(key, spec.n_layers)
+    for li, (w_off, b_off, d_in, d_out) in enumerate(spec.layer_slices()):
+        std = _INIT_SCALE[spec.activations[li]] * math.sqrt(1.0 / d_in)
+        kw, kb = jax.random.split(keys[li])
+        w = std * jax.random.normal(kw, (d_in * d_out,), dtype=dtype)
+        if bias_init == "random":
+            b = std * jax.random.normal(kb, (d_out,), dtype=dtype)
+        elif bias_init == "zeros":
+            b = jnp.zeros((d_out,), dtype=dtype)
+        else:
+            raise ValueError(f"unknown bias_init {bias_init!r}")
+        parts.append(w)
+        parts.append(b)
+    return jnp.concatenate(parts)
+
+
+def mlp_apply(spec: MLPSpec, w: jax.Array, x: jax.Array) -> jax.Array:
+    """Forward pass. ``x`` is batch-major ``(B, in_dim)`` -> ``(B, out_dim)``.
+
+    (The reference stores samples column-major, one per column; batch-major
+    keeps the batch on TPU sublanes and features on lanes.)
+    """
+    h = x
+    for li, (w_off, b_off, d_in, d_out) in enumerate(spec.layer_slices()):
+        W = w[w_off : w_off + d_in * d_out].reshape(d_in, d_out)
+        b = w[b_off : b_off + d_out]
+        z = jnp.dot(h, W, preferred_element_type=h.dtype) + b
+        h = _ACTIVATIONS[spec.activations[li]](z)
+    return h
+
+
+def mlp_loss(spec: MLPSpec, w: jax.Array, x: jax.Array, y: jax.Array, lam: float = 0.0) -> jax.Array:
+    """Mean 0.5*MSE over the batch, optionally L2-regularized."""
+    out = mlp_apply(spec, w, x)
+    diff = out - y
+    loss = 0.5 * jnp.sum(diff * diff) / x.shape[0]
+    if lam:
+        loss = loss + 0.5 * lam * jnp.vdot(w, w)
+    return loss
+
+
+def mlp_problem(spec: MLPSpec, lam: float = 0.0) -> Problem:
+    """Full-batch Problem; ``aux = (x, y)``."""
+
+    def fun(w, aux):
+        x, y = aux
+        return mlp_loss(spec, w, x, y, lam)
+
+    return make_problem(fun)
+
+
+def mlp_batch_problem(spec: MLPSpec, lam: float = 0.0) -> BatchProblem:
+    """Per-batch problem for stochastic solvers; callables take (w, xb, yb)."""
+
+    def per_sample(w, xb, yb):
+        out = mlp_apply(spec, w, xb)
+        diff = out - yb
+        return 0.5 * jnp.sum(diff * diff, axis=1)
+
+    reg = (lambda w: 0.5 * lam * jnp.vdot(w, w)) if lam else None
+    return make_batch_problem(per_sample, reg)
+
+
+def take_batch(x: jax.Array, y: jax.Array, indices: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Gather a minibatch by index set (the reference's column-gather,
+    src/unified_optimization.hpp:268-271, as one XLA gather)."""
+    return jnp.take(x, indices, axis=0), jnp.take(y, indices, axis=0)
+
+
+def evaluate(spec: MLPSpec, w: jax.Array, x: jax.Array, y: jax.Array) -> dict:
+    """Accuracy (argmax match) and total 0.5*||out-y||^2, as the reference's
+    Network::test prints (reference: src/network.hpp:121-144)."""
+    out = mlp_apply(spec, w, x)
+    pred = jnp.argmax(out, axis=1)
+    true = jnp.argmax(y, axis=1)
+    correct = jnp.sum(pred == true)
+    diff = out - y
+    mse = 0.5 * jnp.sum(diff * diff)
+    n = x.shape[0]
+    return {
+        "n": n,
+        "correct": int(correct),
+        "accuracy": float(correct) / n * 100.0,
+        "total_mse": float(mse),
+    }

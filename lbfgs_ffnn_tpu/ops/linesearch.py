@@ -1,0 +1,184 @@
+"""Line searches as jit-compatible ``lax.while_loop``s.
+
+Two families, matching the reference's two backends behaviorally:
+
+* :func:`wolfe_line_search` — bracketing bisection satisfying the (weak)
+  Wolfe conditions; same accept/expand/bisect policy as the reference CPU
+  search (reference: src/minimizer/full_batch_minimizer.hpp:126-157,
+  c1=1e-4, c2=0.9, rho=0.5, <=50 trials).
+* :func:`armijo_quad_line_search` — Armijo backtracking with safeguarded
+  quadratic interpolation; same policy as the reference CUDA search
+  (reference: src/cuda/lbfgs.cuh:108-147), including keeping the *last
+  evaluated* trial point when no trial satisfies Armijo.
+
+Unlike the reference, each trial evaluates loss and gradient together in one
+fused forward+backward (``value_and_grad``) so an accepted step needs no
+re-evaluation, and the entire search compiles into the enclosing jitted
+solver — there is no host round-trip per trial.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class LineSearchResult(NamedTuple):
+    alpha: jax.Array       # accepted (or last-evaluated) step length
+    ok: jax.Array          # bool: did any trial satisfy the accept test?
+    evaluated: jax.Array   # bool: do f_new/g_new correspond to `alpha`?
+    f_new: jax.Array       # loss at x + alpha*p   (valid iff evaluated)
+    g_new: jax.Array       # grad at x + alpha*p   (valid iff evaluated)
+
+
+def wolfe_line_search(
+    value_and_grad: Callable[..., tuple[jax.Array, jax.Array]],
+    x: jax.Array,
+    p: jax.Array,
+    f0: jax.Array,
+    dg0: jax.Array,
+    aux: Any = (),
+    *,
+    c1: float = 1e-4,
+    c2: float = 0.9,
+    shrink: float = 0.5,
+    max_iters: int = 50,
+    alpha0: float = 1.0,
+) -> LineSearchResult:
+    """Bracketing bisection Wolfe search.
+
+    Policy (per trial at step ``alpha``):
+      * Armijo fails (``f(x+ap) > f0 + c1*a*dg0``): bracket above,
+        ``alpha = shrink*(lo+hi)``.
+      * Curvature fails (``g(x+ap)·p < c2*dg0``): bracket below; double
+        ``alpha`` while unbracketed, else bisect.
+      * Both hold: accept.
+    If no trial is accepted within ``max_iters``, returns the last *updated*
+    alpha unevaluated (``evaluated=False``), matching the reference which
+    returns the post-update alpha after exhausting trials.
+    """
+    dtype = x.dtype
+    inf = jnp.array(jnp.inf, dtype=dtype)
+
+    class _C(NamedTuple):
+        i: jax.Array
+        alpha: jax.Array
+        lo: jax.Array
+        hi: jax.Array
+        ok: jax.Array
+        f_new: jax.Array
+        g_new: jax.Array
+
+    c0 = _C(
+        i=jnp.int32(0),
+        alpha=jnp.array(alpha0, dtype=dtype),
+        lo=jnp.zeros((), dtype=dtype),
+        hi=inf,
+        ok=jnp.array(False),
+        f_new=f0,
+        g_new=jnp.zeros_like(x),
+    )
+
+    def cond(c: _C):
+        return (c.i < max_iters) & ~c.ok
+
+    def body(c: _C) -> _C:
+        x_new = x + c.alpha * p
+        f_new, g_new = value_and_grad(x_new, aux)
+        armijo_fail = f_new > f0 + c1 * c.alpha * dg0
+        dg_new = jnp.vdot(g_new, p)
+        curv_fail = dg_new < c2 * dg0
+
+        ok = ~armijo_fail & ~curv_fail
+        # Armijo failure: shrink into [lo, alpha].
+        hi_a = c.alpha
+        alpha_a = shrink * (c.lo + hi_a)
+        # Curvature failure: expand or bisect [alpha, hi].
+        lo_c = c.alpha
+        alpha_c = jnp.where(jnp.isinf(c.hi), c.alpha * 2.0, shrink * (lo_c + c.hi))
+
+        alpha = jnp.where(ok, c.alpha, jnp.where(armijo_fail, alpha_a, alpha_c))
+        lo = jnp.where(ok | armijo_fail, c.lo, lo_c)
+        hi = jnp.where(ok | ~armijo_fail, c.hi, hi_a)
+        return _C(i=c.i + 1, alpha=alpha, lo=lo, hi=hi, ok=ok, f_new=f_new, g_new=g_new)
+
+    c = lax.while_loop(cond, body, c0)
+    return LineSearchResult(alpha=c.alpha, ok=c.ok, evaluated=c.ok, f_new=c.f_new, g_new=c.g_new)
+
+
+def armijo_quad_line_search(
+    value_and_grad: Callable[..., tuple[jax.Array, jax.Array]],
+    x: jax.Array,
+    p: jax.Array,
+    f0: jax.Array,
+    dg0: jax.Array,
+    aux: Any = (),
+    *,
+    c1: float = 1e-4,
+    shrink: float = 0.5,
+    max_iters: int = 20,
+    alpha0: jax.Array | float = 1.0,
+) -> LineSearchResult:
+    """Armijo backtracking with safeguarded quadratic interpolation.
+
+    Per trial: evaluate at ``alpha``; if Armijo holds, accept. Otherwise
+    propose the minimizer of the quadratic fit
+    ``a* = -dg0*a^2 / (2*(f_new - f0 - dg0*a))`` and take it if it lies in
+    ``[0.1a, 0.9a]``; else ``a *= shrink``. When every trial fails, the result
+    carries the last *evaluated* alpha with ``ok=False`` (the reference keeps
+    the parameters at that trial point and resets the curvature history).
+    """
+    dtype = x.dtype
+
+    class _C(NamedTuple):
+        i: jax.Array
+        alpha_next: jax.Array  # alpha to evaluate next
+        alpha_eval: jax.Array  # last evaluated alpha
+        ok: jax.Array
+        f_new: jax.Array
+        g_new: jax.Array
+
+    c0 = _C(
+        i=jnp.int32(0),
+        alpha_next=jnp.asarray(alpha0, dtype=dtype),
+        alpha_eval=jnp.asarray(alpha0, dtype=dtype),
+        ok=jnp.array(False),
+        f_new=f0,
+        g_new=jnp.zeros_like(x),
+    )
+
+    def cond(c: _C):
+        return (c.i < max_iters) & ~c.ok
+
+    def body(c: _C) -> _C:
+        a = c.alpha_next
+        x_new = x + a * p
+        f_new, g_new = value_and_grad(x_new, aux)
+        ok = f_new <= f0 + c1 * a * dg0
+
+        denom = 2.0 * (f_new - f0 - dg0 * a)
+        a_quad = -(dg0 * a * a) / jnp.where(denom == 0.0, jnp.ones_like(denom), denom)
+        quad_ok = (jnp.abs(denom) > 1e-20) & (a_quad >= 0.1 * a) & (a_quad <= 0.9 * a)
+        a_next = jnp.where(quad_ok, a_quad, a * shrink)
+
+        return _C(
+            i=c.i + 1,
+            alpha_next=jnp.where(ok, a, a_next),
+            alpha_eval=a,
+            ok=ok,
+            f_new=f_new,
+            g_new=g_new,
+        )
+
+    c = lax.while_loop(cond, body, c0)
+    # alpha_eval was always evaluated (max_iters >= 1).
+    return LineSearchResult(
+        alpha=c.alpha_eval,
+        ok=c.ok,
+        evaluated=jnp.array(True) if max_iters >= 1 else jnp.array(False),
+        f_new=c.f_new,
+        g_new=c.g_new,
+    )

@@ -1,0 +1,131 @@
+"""L-BFGS two-loop recursion and curvature-pair ring buffer, TPU-functional.
+
+The reference keeps (s, y, rho) history in a heap RingBuffer
+(reference: src/minimizer/ring_buffer.hpp) and runs the two-loop recursion as
+~4m separate BLAS calls — on the CUDA backend each dot product is a
+host-synchronizing cuBLAS launch (reference: src/cuda/lbfgs.cuh:206-261),
+which is the dominant per-iteration latency at large m.
+
+Here the history is a pair of fixed-shape ``(m, n)`` stacked arrays plus
+``head``/``count`` ring indices carried as traced ints; the recursion is a
+``lax.fori_loop`` over the *static* capacity ``m`` with masking of empty
+slots, so the whole thing compiles into one XLA program with zero host
+synchronization. A fused Pallas kernel variant lives in
+``lbfgs_ffnn_tpu.ops.pallas_two_loop``.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+class RingState(NamedTuple):
+    """Fixed-shape curvature history: S, Y are (m, n); rho is (m,)."""
+
+    S: jax.Array
+    Y: jax.Array
+    rho: jax.Array
+    head: jax.Array   # int32: next physical slot to write
+    count: jax.Array  # int32: number of valid pairs (<= m)
+
+
+def empty_history_state(m: int, n: int, dtype=jnp.float32) -> RingState:
+    return RingState(
+        S=jnp.zeros((m, n), dtype=dtype),
+        Y=jnp.zeros((m, n), dtype=dtype),
+        rho=jnp.zeros((m,), dtype=dtype),
+        head=jnp.int32(0),
+        count=jnp.int32(0),
+    )
+
+
+def ring_push(hist: RingState, s: jax.Array, y: jax.Array, rho: jax.Array, accept) -> RingState:
+    """Conditionally push a curvature pair (overwrite-oldest ring semantics).
+
+    When ``accept`` is False the state is unchanged — the functional mirror of
+    the reference's curvature gate ``y^T s > 1e-10`` guarding push_back
+    (reference: src/minimizer/lbfgs.hpp:77-82, src/cuda/lbfgs.cuh:163-168).
+    """
+    m = hist.S.shape[0]
+    S = jnp.where(accept, hist.S.at[hist.head].set(s), hist.S)
+    Y = jnp.where(accept, hist.Y.at[hist.head].set(y), hist.Y)
+    rho_arr = jnp.where(accept, hist.rho.at[hist.head].set(rho), hist.rho)
+    head = jnp.where(accept, (hist.head + 1) % m, hist.head)
+    count = jnp.where(accept, jnp.minimum(hist.count + 1, m), hist.count)
+    return RingState(S=S, Y=Y, rho=rho_arr, head=head, count=count)
+
+
+def ring_reset(hist: RingState, do_reset) -> RingState:
+    """Conditionally drop all pairs (reference: src/cuda/lbfgs.cuh:73-76)."""
+    head = jnp.where(do_reset, jnp.int32(0), hist.head)
+    count = jnp.where(do_reset, jnp.int32(0), hist.count)
+    return RingState(S=hist.S, Y=hist.Y, rho=hist.rho, head=head, count=count)
+
+
+def two_loop(
+    v: jax.Array,
+    hist: RingState,
+    *,
+    clamp_gamma: bool = False,
+    gamma_min: float = 1e-6,
+    gamma_max: float = 1e6,
+) -> jax.Array:
+    """Compute ``r = H_k @ v`` via the two-loop recursion (not negated).
+
+    With empty history returns ``v`` (identity initial Hessian); callers
+    negate for a descent direction. The initial scaling is
+    ``gamma = (s^T y)/(y^T y)`` of the newest pair; with ``clamp_gamma`` the
+    stochastic variant's guards apply (gamma -> 1 when y^T y ~ 0, clamp to
+    [1e-6, 1e6]; reference behavior of src/minimizer/s_lbfgs.hpp:119-127).
+    """
+    m, _ = hist.S.shape
+    S, Y, rho, head, count = hist
+
+    def phys(li):
+        # logical index (0 = oldest) -> physical ring slot
+        return (head - count + li) % m
+
+    # Backward pass: newest -> oldest.
+    def bwd(j, carry):
+        q, alphas = carry
+        li = count - 1 - j
+        valid = li >= 0
+        i = phys(jnp.maximum(li, 0))
+        a = rho[i] * jnp.vdot(S[i], q)
+        a = jnp.where(valid, a, jnp.zeros_like(a))
+        q = q - a * Y[i]
+        store = jnp.where(valid, li, 0)
+        alphas = alphas.at[store].set(jnp.where(valid, a, alphas[store]))
+        return q, alphas
+
+    q0 = v
+    alphas0 = jnp.zeros((m,), dtype=v.dtype)
+    q, alphas = lax.fori_loop(0, m, bwd, (q0, alphas0))
+
+    # Initial Hessian scaling from the newest pair.
+    last = phys(jnp.maximum(count - 1, 0))
+    ys = jnp.vdot(S[last], Y[last])
+    yy = jnp.vdot(Y[last], Y[last])
+    if clamp_gamma:
+        gamma = jnp.where(jnp.abs(yy) < 1e-12, jnp.ones_like(ys), ys / jnp.where(yy == 0, 1.0, yy))
+        gamma = jnp.clip(gamma, gamma_min, gamma_max)
+    else:
+        gamma = jnp.where(yy > 0, ys / jnp.where(yy == 0, 1.0, yy), jnp.ones_like(ys))
+    gamma = jnp.where(count > 0, gamma, jnp.ones_like(gamma))
+
+    z = gamma * q
+
+    # Forward pass: oldest -> newest.
+    def fwd(li, z):
+        valid = li < count
+        i = phys(jnp.minimum(li, jnp.maximum(count - 1, 0)))
+        b = rho[i] * jnp.vdot(Y[i], z)
+        coeff = jnp.where(valid, alphas[li] - b, jnp.zeros_like(b))
+        return z + coeff * S[i]
+
+    z = lax.fori_loop(0, m, fwd, z)
+    return z

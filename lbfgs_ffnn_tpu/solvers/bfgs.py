@@ -1,0 +1,128 @@
+"""Dense BFGS with a pluggable linear solver.
+
+Maintains the full Hessian approximation ``B`` and solves ``B p = -g`` each
+iteration with a selectable solver — direct (LU), conjugate gradient, or
+GMRES — mirroring the reference's injectable Eigen solver (LDLT default,
+ConjugateGradient for sparse, GMRES injected in the test suite;
+reference: src/minimizer/bfgs.hpp:11-38, tests/main.cpp:265-269).
+
+Rank-2 update: ``B += y y^T/(y^T s) - (Bs)(Bs)^T/(s^T B s)``
+(reference: src/minimizer/bfgs.hpp:76-77). Like the reference, no damping or
+skip guards are applied to the update.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lbfgs_ffnn_tpu.ops.linesearch import wolfe_line_search
+from lbfgs_ffnn_tpu.solvers.common import cached_jit_solve, finalize, init_history, record
+from lbfgs_ffnn_tpu.types import Problem, SolveResult
+
+
+class BFGSOptions(NamedTuple):
+    max_iters: int = 1000
+    tol: float = 1e-10
+    linear_solver: str = "direct"  # "direct" | "cg" | "gmres"
+    solver_tol: float = 1e-12
+    solver_max_iters: int = 10000
+    ls_max_iters: int = 50
+    c1: float = 1e-4
+    c2: float = 0.9
+    ls_shrink: float = 0.5
+
+
+class _State(NamedTuple):
+    k: jax.Array
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    gnorm: jax.Array
+    B: jax.Array
+    loss_h: jax.Array
+    gnorm_h: jax.Array
+
+
+def _solve_linear(B, rhs, opts: BFGSOptions):
+    if opts.linear_solver == "direct":
+        return jnp.linalg.solve(B, rhs)
+    if opts.linear_solver == "cg":
+        sol, _ = jax.scipy.sparse.linalg.cg(
+            lambda u: B @ u, rhs, tol=opts.solver_tol, maxiter=opts.solver_max_iters
+        )
+        return sol
+    if opts.linear_solver == "gmres":
+        sol, _ = jax.scipy.sparse.linalg.gmres(
+            lambda u: B @ u, rhs, tol=opts.solver_tol,
+            maxiter=opts.solver_max_iters, solve_method="batched",
+        )
+        return sol
+    raise ValueError(f"unknown linear_solver {opts.linear_solver!r}")
+
+
+def _build(problem: Problem, opts: BFGSOptions):
+    def solve(x0, aux, B0):
+        f0, g0 = problem.value_and_grad(x0, aux)
+        loss_h, gnorm_h = init_history(opts.max_iters, x0.dtype)
+        s0 = _State(
+            k=jnp.int32(0), x=x0, f=f0, g=g0, gnorm=jnp.linalg.norm(g0),
+            B=B0, loss_h=loss_h, gnorm_h=gnorm_h,
+        )
+
+        def cond(s: _State):
+            # reference loops while ||g|| > tol (src/minimizer/bfgs.hpp:61)
+            return (s.k < opts.max_iters) & (s.gnorm > opts.tol)
+
+        def body(s: _State) -> _State:
+            p = _solve_linear(s.B, -s.g, opts)
+            dg0 = jnp.vdot(s.g, p)
+            ls = wolfe_line_search(
+                problem.value_and_grad, s.x, p, s.f, dg0, aux,
+                c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
+                max_iters=opts.ls_max_iters,
+            )
+
+            def use_ls(_):
+                return ls.f_new, ls.g_new
+
+            def reeval(_):
+                return problem.value_and_grad(s.x + ls.alpha * p, aux)
+
+            f_new, g_new = lax.cond(ls.evaluated, use_ls, reeval, None)
+            step = ls.alpha * p
+            x_new = s.x + step
+            y = g_new - s.g
+            Bs = s.B @ step
+            B_new = (
+                s.B
+                + jnp.outer(y, y) / jnp.vdot(y, step)
+                - jnp.outer(Bs, Bs) / jnp.vdot(step, Bs)
+            )
+            gnorm_new = jnp.linalg.norm(g_new)
+            loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
+            return _State(
+                k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
+                B=B_new, loss_h=loss_h, gnorm_h=gnorm_h,
+            )
+
+        s = lax.while_loop(cond, body, s0)
+        return finalize(s.x, s.k, s.gnorm <= opts.tol, s.f, s.gnorm, s.loss_h, s.gnorm_h)
+
+    return solve
+
+
+def bfgs(
+    problem: Problem,
+    x0: jax.Array,
+    aux: Any = (),
+    opts: BFGSOptions | None = None,
+    initial_hessian: jax.Array | None = None,
+) -> SolveResult:
+    opts = opts or BFGSOptions()
+    n = x0.shape[0]
+    B0 = initial_hessian if initial_hessian is not None else jnp.eye(n, dtype=x0.dtype)
+    return cached_jit_solve(_build, problem, opts)(x0, aux, B0)

@@ -1,0 +1,102 @@
+"""Full-batch gradient descent (+ optional momentum or Wolfe line search).
+
+Behavioral union of the reference's two GD implementations:
+  * CPU ``GradientDescent``: fixed step or Wolfe search, no momentum
+    (reference: src/minimizer/gd.hpp:42-68).
+  * CUDA ``CudaGD``: classical momentum ``v <- mu*v - lr*g; x <- x + v``,
+    no line search (reference: src/cuda/gd.cuh:73-100).
+
+The whole run is one jitted ``lax.while_loop``; per-iteration loss/gradnorm
+history is recorded on-device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lbfgs_ffnn_tpu.ops.linesearch import wolfe_line_search
+from lbfgs_ffnn_tpu.solvers.common import cached_jit_solve, finalize, init_history, record
+from lbfgs_ffnn_tpu.types import Problem, SolveResult
+
+
+class GDOptions(NamedTuple):
+    max_iters: int = 1000
+    tol: float = 1e-10
+    step_size: float = 1e-2
+    momentum: float = 0.0
+    use_line_search: bool = True
+    ls_max_iters: int = 50
+    c1: float = 1e-4
+    c2: float = 0.9
+    ls_shrink: float = 0.5
+
+
+class _State(NamedTuple):
+    k: jax.Array
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    gnorm: jax.Array
+    v: jax.Array  # momentum velocity
+    loss_h: jax.Array
+    gnorm_h: jax.Array
+
+
+def _build(problem: Problem, opts: GDOptions):
+    def solve(x0, aux):
+        f0, g0 = problem.value_and_grad(x0, aux)
+        loss_h, gnorm_h = init_history(opts.max_iters, x0.dtype)
+        s0 = _State(
+            k=jnp.int32(0),
+            x=x0,
+            f=f0,
+            g=g0,
+            gnorm=jnp.linalg.norm(g0),
+            v=jnp.zeros_like(x0),
+            loss_h=loss_h,
+            gnorm_h=gnorm_h,
+        )
+
+        def cond(s: _State):
+            return (s.k < opts.max_iters) & (s.gnorm >= opts.tol)
+
+        def body(s: _State) -> _State:
+            if opts.momentum > 0.0:
+                v = opts.momentum * s.v - opts.step_size * s.g
+                x_new = s.x + v
+            else:
+                v = s.v
+                if opts.use_line_search:
+                    dg0 = jnp.vdot(s.g, -s.g)
+                    ls = wolfe_line_search(
+                        problem.value_and_grad, s.x, -s.g, s.f, dg0, aux,
+                        c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
+                        max_iters=opts.ls_max_iters,
+                    )
+                    alpha = ls.alpha
+                else:
+                    alpha = jnp.asarray(opts.step_size, dtype=s.x.dtype)
+                x_new = s.x - alpha * s.g
+            f_new, g_new = problem.value_and_grad(x_new, aux)
+            gnorm_new = jnp.linalg.norm(g_new)
+            loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
+            return _State(
+                k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
+                v=v, loss_h=loss_h, gnorm_h=gnorm_h,
+            )
+
+        s = lax.while_loop(cond, body, s0)
+        return finalize(s.x, s.k, s.gnorm < opts.tol, s.f, s.gnorm, s.loss_h, s.gnorm_h)
+
+    return solve
+
+
+def gradient_descent(
+    problem: Problem, x0: jax.Array, aux: Any = (), opts: GDOptions | None = None
+) -> SolveResult:
+    opts = opts or GDOptions()
+    return cached_jit_solve(_build, problem, opts)(x0, aux)

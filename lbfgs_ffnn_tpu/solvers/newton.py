@@ -1,0 +1,125 @@
+"""Damped Newton with adaptive Levenberg regularization.
+
+Per iteration: try ``(H + mu*I) p = -g`` with ``mu`` escalating
+1e-6 -> 1e6 (x10) until the solve is finite and ``p`` is a descent direction;
+fall back to steepest descent otherwise; then Wolfe line search
+(reference behavior of src/minimizer/newton.hpp:34-77).
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lbfgs_ffnn_tpu.ops.linesearch import wolfe_line_search
+from lbfgs_ffnn_tpu.solvers.common import cached_jit_solve, finalize, init_history, record
+from lbfgs_ffnn_tpu.types import Problem, SolveResult
+
+
+class NewtonOptions(NamedTuple):
+    max_iters: int = 1000
+    tol: float = 1e-10
+    reg_init: float = 1e-6
+    reg_max: float = 1e6
+    reg_growth: float = 10.0
+    ls_max_iters: int = 50
+    c1: float = 1e-4
+    c2: float = 0.9
+    ls_shrink: float = 0.5
+
+
+class _State(NamedTuple):
+    k: jax.Array
+    x: jax.Array
+    f: jax.Array
+    g: jax.Array
+    gnorm: jax.Array
+    loss_h: jax.Array
+    gnorm_h: jax.Array
+
+
+def _damped_direction(H, g, opts: NewtonOptions):
+    n = g.shape[0]
+    eye = jnp.eye(n, dtype=H.dtype)
+
+    class _C(NamedTuple):
+        mu: jax.Array
+        p: jax.Array
+        found: jax.Array
+
+    def cond(c: _C):
+        return (~c.found) & (c.mu <= opts.reg_max)
+
+    def body(c: _C) -> _C:
+        p = jnp.linalg.solve(H + c.mu * eye, -g)
+        ok = jnp.all(jnp.isfinite(p)) & (jnp.vdot(p, g) < 0.0)
+        return _C(
+            mu=jnp.where(ok, c.mu, c.mu * opts.reg_growth),
+            p=jnp.where(ok, p, c.p),
+            found=ok,
+        )
+
+    c0 = _C(
+        mu=jnp.asarray(opts.reg_init, dtype=H.dtype),
+        p=jnp.zeros_like(g),
+        found=jnp.array(False),
+    )
+    c = lax.while_loop(cond, body, c0)
+    # Steepest-descent fallback (reference: src/minimizer/newton.hpp:68-70).
+    return jnp.where(c.found, c.p, -g)
+
+
+def _build(problem: Problem, opts: NewtonOptions):
+    if problem.hess is None:
+        raise ValueError("Newton requires problem.hess")
+
+    def solve(x0, aux):
+        f0, g0 = problem.value_and_grad(x0, aux)
+        loss_h, gnorm_h = init_history(opts.max_iters, x0.dtype)
+        s0 = _State(
+            k=jnp.int32(0), x=x0, f=f0, g=g0, gnorm=jnp.linalg.norm(g0),
+            loss_h=loss_h, gnorm_h=gnorm_h,
+        )
+
+        def cond(s: _State):
+            return (s.k < opts.max_iters) & (s.gnorm > opts.tol)
+
+        def body(s: _State) -> _State:
+            H = problem.hess(s.x, aux)
+            p = _damped_direction(H, s.g, opts)
+            dg0 = jnp.vdot(s.g, p)
+            ls = wolfe_line_search(
+                problem.value_and_grad, s.x, p, s.f, dg0, aux,
+                c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
+                max_iters=opts.ls_max_iters,
+            )
+
+            def use_ls(_):
+                return ls.f_new, ls.g_new
+
+            def reeval(_):
+                return problem.value_and_grad(s.x + ls.alpha * p, aux)
+
+            f_new, g_new = lax.cond(ls.evaluated, use_ls, reeval, None)
+            x_new = s.x + ls.alpha * p
+            gnorm_new = jnp.linalg.norm(g_new)
+            loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
+            return _State(
+                k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
+                loss_h=loss_h, gnorm_h=gnorm_h,
+            )
+
+        s = lax.while_loop(cond, body, s0)
+        return finalize(s.x, s.k, s.gnorm <= opts.tol, s.f, s.gnorm, s.loss_h, s.gnorm_h)
+
+    return solve
+
+
+def newton(
+    problem: Problem, x0: jax.Array, aux: Any = (), opts: NewtonOptions | None = None
+) -> SolveResult:
+    opts = opts or NewtonOptions()
+    return cached_jit_solve(_build, problem, opts)(x0, aux)

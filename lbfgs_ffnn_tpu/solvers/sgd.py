@@ -1,0 +1,162 @@
+"""Minibatch SGD — whole training run as one jitted program.
+
+Behavioral union of the reference's two SGD implementations:
+  * CPU ``StochasticGradientDescent``: epoch = ``m = N // b`` minibatches
+    sampled *without replacement* (partial Fisher-Yates) with a fresh draw
+    per step; plain steps; per-epoch full loss + full gradient recording
+    (reference: src/minimizer/s_gd.hpp:63-137,146-170).
+  * CUDA ``CudaSGD``: *sequential contiguous* batch slices, classical
+    momentum, step-wise lr decay, relative-improvement stopping on the epoch
+    loss (reference: src/cuda/sgd.cuh:50-153).
+
+An epoch is a ``lax.scan`` over minibatch steps; batch sampling uses
+``jax.random.fold_in`` per (epoch, step) so runs are seed-stable and
+layout-independent. The trailing ragged batch in sequential mode is handled
+with a fixed-shape masked gather.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lbfgs_ffnn_tpu.solvers.common import cached_jit_solve, finalize, init_history, record
+from lbfgs_ffnn_tpu.types import BatchProblem, SolveResult
+
+
+class SGDOptions(NamedTuple):
+    epochs: int = 1000
+    batch_size: int = 128
+    step_size: float = 0.01
+    momentum: float = 0.0
+    sampling: str = "random"  # "random" (CPU-ref) | "sequential" (CUDA-ref)
+    lr_decay: float = 1.0
+    lr_decay_step: int = 0
+    tol: float = 0.0  # >0 enables relative-improvement stopping (CUDA-ref)
+    seed: int = 123
+    record_full: bool = True  # per-epoch full-batch loss/gradnorm recording
+
+
+class _State(NamedTuple):
+    epoch: jax.Array
+    w: jax.Array
+    v: jax.Array
+    lr: jax.Array
+    prev_loss: jax.Array
+    stop: jax.Array
+    loss_h: jax.Array
+    gnorm_h: jax.Array
+
+
+def _build(problem: BatchProblem, opts: SGDOptions, N: int):
+    b = min(opts.batch_size, N)
+    if opts.sampling == "random":
+        m = max(N // b, 1)
+    elif opts.sampling == "sequential":
+        m = -(-N // b)  # ceil
+    else:
+        raise ValueError(f"unknown sampling {opts.sampling!r}")
+
+    def solve(w0, x, y):
+        key = jax.random.PRNGKey(opts.seed)
+        loss_h, gnorm_h = init_history(opts.epochs, w0.dtype)
+        s0 = _State(
+            epoch=jnp.int32(0),
+            w=w0,
+            v=jnp.zeros_like(w0),
+            lr=jnp.asarray(opts.step_size, dtype=w0.dtype),
+            prev_loss=jnp.asarray(jnp.inf, dtype=w0.dtype),
+            stop=jnp.array(False),
+            loss_h=loss_h,
+            gnorm_h=gnorm_h,
+        )
+
+        def update(w, v, lr, g):
+            if opts.momentum > 0.0:
+                v = opts.momentum * v - lr * g
+                return w + v, v
+            return w - lr * g, v
+
+        def cond(s: _State):
+            return (s.epoch < opts.epochs) & ~s.stop
+
+        def body(s: _State) -> _State:
+            # Step-wise lr decay before the epoch (reference: src/cuda/sgd.cuh:97-99).
+            lr = s.lr
+            if opts.lr_decay_step > 0:
+                do_decay = (s.epoch > 0) & (s.epoch % opts.lr_decay_step == 0)
+                lr = jnp.where(do_decay, lr * opts.lr_decay, lr)
+
+            def minibatch_random(carry, t):
+                w, v = carry
+                k = jax.random.fold_in(key, s.epoch * m + t)
+                idx = jax.random.permutation(k, N)[:b]
+                xb, yb = jnp.take(x, idx, axis=0), jnp.take(y, idx, axis=0)
+                g = problem.grad(w, xb, yb)
+                w, v = update(w, v, lr, g)
+                return (w, v), jnp.zeros((), dtype=w.dtype)
+
+            def minibatch_sequential(carry, t):
+                w, v = carry
+                pos = t * b + jnp.arange(b)
+                mask = (pos < N).astype(w.dtype)
+                idx = jnp.minimum(pos, N - 1)
+                xb, yb = jnp.take(x, idx, axis=0), jnp.take(y, idx, axis=0)
+                loss, g = jax.value_and_grad(problem.fun_masked)(w, xb, yb, mask)
+                w, v = update(w, v, lr, g)
+                return (w, v), loss * jnp.sum(mask)
+
+            step_fn = minibatch_random if opts.sampling == "random" else minibatch_sequential
+            (w, v), losses = lax.scan(step_fn, (s.w, s.v), jnp.arange(m))
+            epoch_loss = jnp.sum(losses) / N  # batch-weighted mean (CUDA-ref)
+
+            # Recorder: full-dataset loss + gradient norm per epoch
+            # (reference: src/minimizer/s_gd.hpp:108-131, src/cuda/sgd.cuh:134-145).
+            if opts.record_full:
+                full_loss, full_g = problem.value_and_grad(w, x, y)
+                gnorm = jnp.linalg.norm(full_g)
+            else:
+                full_loss, gnorm = epoch_loss, jnp.asarray(jnp.nan, dtype=w.dtype)
+            loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.epoch, full_loss, gnorm)
+
+            # Relative-improvement stopping (reference: src/cuda/sgd.cuh:126-131).
+            stop = s.stop
+            if opts.tol > 0.0:
+                denom = jnp.maximum(jnp.ones_like(epoch_loss), jnp.abs(s.prev_loss))
+                rel = jnp.abs(s.prev_loss - epoch_loss) / denom
+                stop = jnp.isfinite(s.prev_loss) & (rel < opts.tol)
+
+            return _State(
+                epoch=s.epoch + 1, w=w, v=v, lr=lr, prev_loss=epoch_loss,
+                stop=stop, loss_h=loss_h, gnorm_h=gnorm_h,
+            )
+
+        s = lax.while_loop(cond, body, s0)
+        last = jnp.maximum(s.epoch - 1, 0)
+        return finalize(
+            s.w, s.epoch, s.stop, s.loss_h[last], s.gnorm_h[last], s.loss_h, s.gnorm_h
+        )
+
+    return solve
+
+
+def sgd(
+    problem: BatchProblem,
+    w0: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    opts: SGDOptions | None = None,
+) -> SolveResult:
+    opts = opts or SGDOptions()
+    return cached_jit_solve_sgd(problem, opts, int(x.shape[0]))(w0, x, y)
+
+
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=256)
+def cached_jit_solve_sgd(problem, opts, N):
+    return jax.jit(_build(problem, opts, N))

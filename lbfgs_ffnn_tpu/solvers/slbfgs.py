@@ -1,0 +1,249 @@
+"""Stochastic L-BFGS (Moritz et al. 2016) — SVRG variance-reduced gradients
+with decoupled stable curvature pairs from Hessian-vector products.
+
+Behavioral mirror of the reference CPU flagship
+(reference: src/minimizer/s_lbfgs.hpp:166-290):
+
+  * Outer epoch: full gradient ``mu = grad F(w~)`` as the SVRG anchor; stop
+    when ``||mu|| < tol``.
+  * Inner loop (``m_inner`` steps): sample batch; variance-reduced gradient
+    ``v_t = grad_S(w_t) - grad_S(w~) + mu``; direction from the two-loop
+    recursion with clamped gamma; fixed-step update; iterate pushed into a
+    ring of the last ``L+1`` iterates.
+  * Every ``L`` steps: averaged iterate ``u``; ``s = u - u_prev``;
+    ``y = H(u) s`` on a ``b_H`` batch; pair accepted iff ``|y^T s| > 1e-10``.
+  * Epoch end: anchor reset to a uniformly random recent inner iterate.
+
+TPU-native differences: the HVP is an exact ``jax.jvp`` of the batch gradient
+(the reference uses central finite differences, s_lbfgs.hpp:88-101 — an
+``"fd"`` mode is kept for parity testing); the entire run — outer while_loop,
+inner scan, curvature conds — is one XLA program with no host round-trips;
+batch sampling derives per-(epoch, step) keys with ``jax.random.fold_in`` so
+results are seed-stable across device layouts.
+
+The reference restricts S-LBFGS to its CPU backend (a CUDA build is a
+static_assert error, src/unified_optimization.hpp:639-641); here the same
+program runs on TPU, and data-parallel sharding of the batch and full-gradient
+passes comes from wrapping the BatchProblem (see lbfgs_ffnn_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lbfgs_ffnn_tpu.ops.two_loop import RingState, empty_history_state, ring_push, two_loop
+from lbfgs_ffnn_tpu.solvers.common import finalize, init_history, record
+from lbfgs_ffnn_tpu.types import BatchProblem, SolveResult
+
+
+class SLBFGSOptions(NamedTuple):
+    epochs: int = 1000          # outer iterations
+    tol: float = 1e-4           # on the full gradient norm
+    m_inner: int = 0            # inner steps per epoch; 0 -> N // batch_size
+    history: int = 10           # M: curvature pairs kept
+    L: int = 10                 # curvature update interval
+    batch_size: int = 128       # b: gradient batch
+    hvp_batch_size: int = 0     # b_H; 0 -> batch_size // 2
+    step_size: float = 0.01
+    hvp_mode: str = "exact"     # "exact" (jvp) | "fd" (reference parity)
+    fd_eps: float = 1e-4
+    seed: int = 123
+    record_full: bool = True    # per-epoch full loss + gradient (as reference)
+    curvature_eps: float = 1e-10
+    two_loop_impl: str = "xla"  # "xla" | "pallas"
+
+
+class _VecRing(NamedTuple):
+    """Ring of recent iterate vectors (the reference's w_history,
+    s_lbfgs.hpp:189,201,233)."""
+
+    buf: jax.Array   # (cap, n)
+    head: jax.Array
+    count: jax.Array
+
+
+def _vr_empty(cap: int, n: int, dtype) -> _VecRing:
+    return _VecRing(jnp.zeros((cap, n), dtype=dtype), jnp.int32(0), jnp.int32(0))
+
+
+def _vr_push(r: _VecRing, v: jax.Array) -> _VecRing:
+    cap = r.buf.shape[0]
+    return _VecRing(
+        r.buf.at[r.head].set(v), (r.head + 1) % cap, jnp.minimum(r.count + 1, cap)
+    )
+
+
+def _vr_mean(r: _VecRing) -> jax.Array:
+    cap = r.buf.shape[0]
+    j = jnp.arange(cap)
+    li = (j - (r.head - r.count)) % cap
+    mask = (li < r.count).astype(r.buf.dtype)
+    return (mask @ r.buf) / jnp.maximum(r.count, 1).astype(r.buf.dtype)
+
+
+def _vr_pick(r: _VecRing, li: jax.Array) -> jax.Array:
+    cap = r.buf.shape[0]
+    return r.buf[(r.head - r.count + li) % cap]
+
+
+class _State(NamedTuple):
+    epoch: jax.Array
+    w: jax.Array        # anchor w~
+    hist: RingState     # curvature pairs, persists across epochs
+    u_prev: jax.Array   # last averaged iterate (u_list.back())
+    has_u: jax.Array
+    stop: jax.Array
+    gnorm: jax.Array    # ||mu|| of the most recent epoch
+    loss_h: jax.Array
+    gnorm_h: jax.Array
+
+
+def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int):
+    b = min(opts.batch_size, N)
+    m_inner = opts.m_inner if opts.m_inner > 0 else max(N // b, 1)
+    b_h = opts.hvp_batch_size if opts.hvp_batch_size > 0 else max(b // 2, 1)
+    b_h = min(b_h, N)
+    cap = opts.L + 1
+
+    if opts.two_loop_impl == "pallas":
+        from lbfgs_ffnn_tpu.ops.pallas_two_loop import two_loop_pallas
+
+        def direction(v, hist):
+            return two_loop_pallas(v, hist, clamp_gamma=True)
+    else:
+        def direction(v, hist):
+            return two_loop(v, hist, clamp_gamma=True)
+
+    def hvp(w, s_vec, xb, yb):
+        if opts.hvp_mode == "fd":
+            return problem.fd_hvp(w, s_vec, xb, yb, eps=opts.fd_eps)
+        return problem.hvp(w, s_vec, xb, yb)
+
+    def solve(w0, x, y):
+        key = jax.random.PRNGKey(opts.seed)
+        n = w0.shape[0]
+        loss_h, gnorm_h = init_history(opts.epochs, w0.dtype)
+        s0 = _State(
+            epoch=jnp.int32(0),
+            w=w0,
+            hist=empty_history_state(opts.history, n, w0.dtype),
+            u_prev=jnp.zeros_like(w0),
+            has_u=jnp.array(False),
+            stop=jnp.array(False),
+            gnorm=jnp.asarray(jnp.inf, dtype=w0.dtype),
+            loss_h=loss_h,
+            gnorm_h=gnorm_h,
+        )
+
+        def sample(k, size):
+            return jax.random.permutation(k, N)[:size]
+
+        def cond(s: _State):
+            return (s.epoch < opts.epochs) & ~s.stop
+
+        def body(s: _State) -> _State:
+            k_epoch = jax.random.fold_in(key, s.epoch)
+            # SVRG anchor: full gradient at w~ (s_lbfgs.hpp:203-206).
+            mu = problem.grad(s.w, x, y)
+            mu_norm = jnp.linalg.norm(mu)
+            converged = mu_norm < opts.tol
+
+            def run_epoch(s: _State) -> _State:
+                wr0 = _vr_push(_vr_empty(cap, n, w0.dtype), s.w)
+
+                def inner(carry, t):
+                    wt, hist, wr, u_prev, has_u = carry
+                    k_t = jax.random.fold_in(k_epoch, t)
+                    idx = sample(jax.random.fold_in(k_t, 0), b)
+                    xb, yb = jnp.take(x, idx, axis=0), jnp.take(y, idx, axis=0)
+                    # Variance-reduced gradient (s_lbfgs.hpp:225-228).
+                    g_t = problem.grad(wt, xb, yb)
+                    g_anchor = problem.grad(s.w, xb, yb)
+                    v = g_t - g_anchor + mu
+                    d = direction(v, hist)
+                    wt = wt - opts.step_size * d
+                    wr = _vr_push(wr, wt)
+
+                    def curvature(args):
+                        hist, u_prev, has_u = args
+                        u = _vr_mean(wr)
+
+                        def with_pair(args):
+                            hist, = args
+                            s_vec = u - u_prev
+                            idx_h = sample(jax.random.fold_in(k_t, 1), b_h)
+                            xh, yh = jnp.take(x, idx_h, axis=0), jnp.take(y, idx_h, axis=0)
+                            yv = hvp(u, s_vec, xh, yh)
+                            ys = jnp.vdot(yv, s_vec)
+                            accept = jnp.abs(ys) > opts.curvature_eps
+                            rho = jnp.where(accept, 1.0 / jnp.where(ys == 0, 1.0, ys), 0.0)
+                            return (ring_push(hist, s_vec, yv, rho, accept),)
+
+                        (hist,) = lax.cond(has_u, with_pair, lambda a: a, (hist,))
+                        return hist, u, jnp.array(True)
+
+                    do_update = (t > 0) & (t % opts.L == 0)
+                    hist, u_prev, has_u = lax.cond(
+                        do_update, curvature, lambda a: a, (hist, u_prev, has_u)
+                    )
+                    return (wt, hist, wr, u_prev, has_u), None
+
+                (wt, hist, wr, u_prev, has_u), _ = lax.scan(
+                    inner,
+                    (s.w, s.hist, wr0, s.u_prev, s.has_u),
+                    jnp.arange(m_inner),
+                )
+
+                # Anchor reset to a random recent iterate (s_lbfgs.hpp:265-270).
+                k_r = jax.random.fold_in(k_epoch, 2**20)
+                j = jax.random.randint(k_r, (), 0, jnp.maximum(wr.count - 1, 1))
+                w_new = jnp.where(wr.count >= 2, _vr_pick(wr, j), wt)
+
+                if opts.record_full:
+                    full_loss = problem.fun(w_new, x, y)
+                    full_g = problem.grad(w_new, x, y)
+                    loss_h, gnorm_h = record(
+                        s.loss_h, s.gnorm_h, s.epoch, full_loss, jnp.linalg.norm(full_g)
+                    )
+                else:
+                    loss_h, gnorm_h = s.loss_h, s.gnorm_h
+
+                return _State(
+                    epoch=s.epoch + 1, w=w_new, hist=hist, u_prev=u_prev,
+                    has_u=has_u, stop=jnp.array(False), gnorm=mu_norm,
+                    loss_h=loss_h, gnorm_h=gnorm_h,
+                )
+
+            def skip_epoch(s: _State) -> _State:
+                return s._replace(stop=jnp.array(True), gnorm=mu_norm)
+
+            return lax.cond(converged, skip_epoch, run_epoch, s)
+
+        s = lax.while_loop(cond, body, s0)
+        last = jnp.maximum(s.epoch - 1, 0)
+        return finalize(
+            s.w, s.epoch, s.stop, s.loss_h[last], s.gnorm, s.loss_h, s.gnorm_h
+        )
+
+    return solve
+
+
+@functools.lru_cache(maxsize=256)
+def _cached(problem, opts, N):
+    return jax.jit(_build(problem, opts, N))
+
+
+def slbfgs(
+    problem: BatchProblem,
+    w0: jax.Array,
+    x: jax.Array,
+    y: jax.Array,
+    opts: SLBFGSOptions | None = None,
+) -> SolveResult:
+    opts = opts or SLBFGSOptions()
+    return _cached(problem, opts, int(x.shape[0]))(w0, x, y)

@@ -1,0 +1,155 @@
+"""Core problem / result types.
+
+The reference expresses objectives as opaque std::function closures
+(``VecFun``/``GradFun``/``HessFun``, reference: src/common.hpp:32-38, and the
+batch callbacks ``BatchGradFun``/``BatchLossFun``,
+reference: src/minimizer/s_lbfgs.hpp:37-38). Here an objective is a pytree of
+pure callables ``fun(w, aux) -> scalar``; gradients default to ``jax.grad``
+and Hessian-vector products to exact ``jax.jvp`` instead of the reference's
+hand-rolled backprop and finite differences.
+
+``aux`` is an arbitrary pytree of traced operands (e.g. the training set)
+threaded through the jitted solve so that data is a runtime input rather than
+a baked-in constant.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class Problem(NamedTuple):
+    """A smooth unconstrained objective for full-batch solvers.
+
+    All callables take ``(w, aux)`` where ``w`` is the flat parameter vector
+    and ``aux`` is a pytree of extra operands (possibly ``()``).
+    """
+
+    fun: Callable[..., jax.Array]
+    grad: Callable[..., jax.Array]
+    value_and_grad: Callable[..., tuple[jax.Array, jax.Array]]
+    hess: Optional[Callable[..., jax.Array]] = None
+
+    def hvp(self, w: jax.Array, v: jax.Array, aux: Any = ()) -> jax.Array:
+        """Exact Hessian-vector product via forward-over-reverse jvp."""
+        return jax.jvp(lambda u: self.grad(u, aux), (w,), (v,))[1]
+
+
+class BatchProblem(NamedTuple):
+    """A finite-sum objective exposed through per-batch callables.
+
+    Mirrors the reference's stochastic contract — a loss and gradient over a
+    set of sample indices (reference: src/minimizer/s_lbfgs.hpp:37-38) — but
+    the callables here take a *batch of data* ``(w, xb, yb)`` directly and the
+    index gather lives in ``take_batch``, so the hot path is pure MXU work.
+
+    ``fun_masked``/``grad_masked`` additionally take a ``(b,)`` 0/1 mask and
+    average over the unmasked samples only — used for ragged trailing batches
+    under jit's static shapes (the reference's CUDA SGD handles the trailing
+    batch with a smaller dynamic launch, src/cuda/sgd.cuh:103-108).
+    """
+
+    fun: Callable[..., jax.Array]  # (w, xb, yb) -> scalar mean loss (+reg)
+    grad: Callable[..., jax.Array]  # (w, xb, yb) -> flat grad of fun
+    value_and_grad: Callable[..., tuple[jax.Array, jax.Array]]
+    fun_masked: Callable[..., jax.Array]  # (w, xb, yb, mask) -> scalar
+    grad_masked: Callable[..., jax.Array]
+    per_sample: Callable[..., jax.Array]  # (w, xb, yb) -> (b,) losses, no reg
+
+    def hvp(self, w: jax.Array, v: jax.Array, xb: jax.Array, yb: jax.Array) -> jax.Array:
+        """Exact HVP of the batch loss (replaces the reference's central
+        finite-difference HVP, src/minimizer/s_lbfgs.hpp:88-101)."""
+        return jax.jvp(lambda u: self.grad(u, xb, yb), (w,), (v,))[1]
+
+    def fd_hvp(
+        self, w: jax.Array, v: jax.Array, xb: jax.Array, yb: jax.Array, eps: float = 1e-4
+    ) -> jax.Array:
+        """Central finite-difference HVP — exact behavioral mirror of the
+        reference helper (src/minimizer/s_lbfgs.hpp:88-101), kept for parity
+        testing against the exact ``hvp``."""
+        gp = self.grad(w + eps * v, xb, yb)
+        gm = self.grad(w - eps * v, xb, yb)
+        return (gp - gm) / (2.0 * eps)
+
+
+class SolveResult(NamedTuple):
+    """Outcome of a solver run.
+
+    ``loss_history`` / ``gnorm_history`` are fixed-shape ``(max_iters,)``
+    arrays padded with NaN past ``n_iters`` — the functional mirror of the
+    reference's IterationRecorder (reference: src/iteration_recorder.hpp).
+    """
+
+    x: jax.Array
+    n_iters: jax.Array  # int32 number of iterations performed
+    converged: jax.Array  # bool
+    final_loss: jax.Array
+    final_gnorm: jax.Array
+    loss_history: jax.Array
+    gnorm_history: jax.Array
+
+
+def make_problem(
+    fun: Callable[..., jax.Array],
+    grad: Optional[Callable[..., jax.Array]] = None,
+    hess: Optional[Callable[..., jax.Array]] = None,
+) -> Problem:
+    """Build a :class:`Problem` from a scalar objective ``fun(w, aux)``.
+
+    Analytic ``grad``/``hess`` may be supplied (as the reference's test suite
+    does, reference: tests/main.cpp:71-156); otherwise autodiff is used.
+    """
+    if grad is None:
+        grad = jax.grad(fun)
+        value_and_grad = jax.value_and_grad(fun)
+    else:
+        def value_and_grad(w, aux=(), _f=fun, _g=grad):
+            return _f(w, aux), _g(w, aux)
+
+    if hess is None:
+        hess = jax.hessian(fun)
+    return Problem(fun=fun, grad=grad, value_and_grad=value_and_grad, hess=hess)
+
+
+def make_batch_problem(
+    per_sample: Callable[..., jax.Array],
+    reg: Optional[Callable[..., jax.Array]] = None,
+) -> BatchProblem:
+    """Build a :class:`BatchProblem` from a per-sample loss.
+
+    ``per_sample(w, xb, yb) -> (b,)`` individual losses; ``reg(w)`` an
+    optional whole-parameter regularizer added to every batch loss (the
+    reference S-LBFGS training adds 0.5*lam*||w||^2 this way,
+    src/unified_optimization.hpp:375,398).
+    """
+
+    def fun(w, xb, yb):
+        loss = jnp.mean(per_sample(w, xb, yb))
+        return loss + reg(w) if reg is not None else loss
+
+    def fun_masked(w, xb, yb, mask):
+        ls = per_sample(w, xb, yb)
+        loss = jnp.sum(ls * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        return loss + reg(w) if reg is not None else loss
+
+    return BatchProblem(
+        fun=fun,
+        grad=jax.grad(fun),
+        value_and_grad=jax.value_and_grad(fun),
+        fun_masked=fun_masked,
+        grad_masked=jax.grad(fun_masked),
+        per_sample=per_sample,
+    )
+
+
+def empty_history(max_iters: int, dtype) -> jax.Array:
+    return jnp.full((max_iters,), jnp.nan, dtype=dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _cached_jit(fn, static_argnums):
+    return jax.jit(fn, static_argnums=static_argnums)

@@ -1,0 +1,95 @@
+"""Line search unit tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbfgs_ffnn_tpu.ops.linesearch import armijo_quad_line_search, wolfe_line_search
+
+
+def quad_vag(center, scale=1.0):
+    def vag(w, aux=()):
+        f = 0.5 * scale * jnp.sum((w - center) ** 2)
+        g = scale * (w - center)
+        return f, g
+
+    return vag
+
+
+def test_wolfe_satisfies_conditions_on_quadratic():
+    c = jnp.array([1.0, -2.0, 3.0])
+    vag = quad_vag(c)
+    x = jnp.zeros(3)
+    f0, g0 = vag(x)
+    p = -g0
+    dg0 = jnp.vdot(g0, p)
+    res = wolfe_line_search(vag, x, p, f0, dg0)
+    assert bool(res.ok)
+    a = float(res.alpha)
+    f_new, g_new = vag(x + a * p)
+    # Armijo
+    assert float(f_new) <= float(f0) + 1e-4 * a * float(dg0)
+    # Curvature
+    assert float(jnp.vdot(g_new, p)) >= 0.9 * float(dg0)
+    # returned f/g match the accepted point
+    np.testing.assert_allclose(float(res.f_new), float(f_new))
+
+
+def test_wolfe_expands_small_steps():
+    """On a wide quadratic, alpha=1 fails curvature and the bracket expands."""
+    c = jnp.array([100.0])
+    vag = quad_vag(c, scale=0.001)
+    x = jnp.zeros(1)
+    f0, g0 = vag(x)
+    p = -g0
+    res = wolfe_line_search(vag, x, p, f0, jnp.vdot(g0, p))
+    assert bool(res.ok)
+    assert float(res.alpha) > 1.0
+
+
+def test_armijo_accepts_unit_step_on_nice_quadratic():
+    c = jnp.array([0.5, 0.5])
+    vag = quad_vag(c)
+    x = jnp.zeros(2)
+    f0, g0 = vag(x)
+    p = -g0
+    res = armijo_quad_line_search(vag, x, p, f0, jnp.vdot(g0, p))
+    assert bool(res.ok)
+    assert float(res.alpha) == 1.0
+
+
+def test_armijo_backtracks_on_steep_function():
+    """Quartic where the full step overshoots badly: alpha must shrink and the
+    quadratic-interpolation safeguard must keep it in (0, 1)."""
+
+    def vag(w, aux=()):
+        f = jnp.sum(w**4)
+        return f, 4.0 * w**3
+
+    x = jnp.array([2.0])
+    f0, g0 = vag(x)
+    p = -g0  # huge step
+    res = armijo_quad_line_search(vag, x, p, f0, jnp.vdot(g0, p))
+    assert bool(res.ok)
+    assert 0.0 < float(res.alpha) < 1.0
+    # the returned evaluation corresponds to the accepted alpha
+    f_chk, _ = vag(x + res.alpha * p)
+    np.testing.assert_allclose(float(res.f_new), float(f_chk))
+
+
+def test_armijo_failure_keeps_last_trial():
+    """If no trial passes (max_iters tiny on a hard function), result carries
+    the last *evaluated* alpha with ok=False — the reference CUDA solver keeps
+    that trial point and resets history (src/cuda/lbfgs.cuh:142-147)."""
+
+    def vag(w, aux=()):
+        return jnp.sum(w**4), 4.0 * w**3
+
+    x = jnp.array([2.0])
+    f0, g0 = vag(x)
+    p = -g0
+    res = armijo_quad_line_search(vag, x, p, f0, jnp.vdot(g0, p), max_iters=1)
+    assert not bool(res.ok)
+    assert bool(res.evaluated)
+    f_chk, _ = vag(x + res.alpha * p)
+    np.testing.assert_allclose(float(res.f_new), float(f_chk))

@@ -1,0 +1,129 @@
+"""MLP objective unit tests: shapes, gradients, parity conventions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbfgs_ffnn_tpu.objectives.mlp import (
+    evaluate,
+    mlp_apply,
+    mlp_batch_problem,
+    mlp_init,
+    mlp_loss,
+    mlp_problem,
+    mlp_spec,
+)
+
+SPEC = mlp_spec([12, 8, 4], ["relu", "linear"])
+
+
+def _data(key, n=32, spec=SPEC, dtype=jnp.float32):
+    kx, ky = jax.random.split(key)
+    x = jax.random.normal(kx, (n, spec.dims[0]), dtype=dtype)
+    labels = jax.random.randint(ky, (n,), 0, spec.dims[-1])
+    y = jax.nn.one_hot(labels, spec.dims[-1], dtype=dtype)
+    return x, y
+
+
+def test_param_count():
+    # (12*8 + 8) + (8*4 + 4) = 104 + 36 = 140
+    assert SPEC.n_params == 140
+    w = mlp_init(SPEC, jax.random.PRNGKey(0))
+    assert w.shape == (140,)
+
+
+def test_forward_shape_and_determinism():
+    w = mlp_init(SPEC, jax.random.PRNGKey(1))
+    x, _ = _data(jax.random.PRNGKey(2))
+    out = mlp_apply(SPEC, w, x)
+    assert out.shape == (32, 4)
+    out2 = mlp_apply(SPEC, w, x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # seeded init is reproducible
+    w2 = mlp_init(SPEC, jax.random.PRNGKey(1))
+    np.testing.assert_array_equal(np.asarray(w), np.asarray(w2))
+
+
+def test_bias_init_conventions():
+    """CPU reference randomizes biases (network.hpp:64-69); CUDA zeroes them
+    (cuda/network.cuh:52-53)."""
+    spec = mlp_spec([4, 3], ["linear"])
+    w_zero = mlp_init(spec, jax.random.PRNGKey(0), bias_init="zeros")
+    b = w_zero[4 * 3 :]
+    np.testing.assert_array_equal(np.asarray(b), np.zeros(3, np.float32))
+    w_rand = mlp_init(spec, jax.random.PRNGKey(0), bias_init="random")
+    assert float(jnp.sum(jnp.abs(w_rand[4 * 3 :]))) > 0
+
+
+def test_grad_matches_finite_differences():
+    spec = mlp_spec([5, 6, 3], ["tanh", "linear"])
+    w = mlp_init(spec, jax.random.PRNGKey(3), dtype=jnp.float64)
+    x, y = _data(jax.random.PRNGKey(4), n=8, spec=spec, dtype=jnp.float64)
+    prob = mlp_problem(spec)
+    g = prob.grad(w, (x, y))
+    eps = 1e-6
+    rng = np.random.default_rng(0)
+    for _ in range(10):
+        i = rng.integers(0, spec.n_params)
+        e = jnp.zeros_like(w).at[i].set(eps)
+        fd = (prob.fun(w + e, (x, y)) - prob.fun(w - e, (x, y))) / (2 * eps)
+        np.testing.assert_allclose(float(g[i]), float(fd), rtol=1e-5, atol=1e-8)
+
+
+def test_exact_hvp_matches_fd_hvp():
+    """The exact jvp HVP replaces the reference's central-difference HVP
+    (s_lbfgs.hpp:88-101); both must agree to FD accuracy."""
+    spec = mlp_spec([5, 6, 3], ["tanh", "linear"])
+    w = mlp_init(spec, jax.random.PRNGKey(5), dtype=jnp.float64)
+    x, y = _data(jax.random.PRNGKey(6), n=16, spec=spec, dtype=jnp.float64)
+    bp = mlp_batch_problem(spec, lam=1e-4)
+    v = jax.random.normal(jax.random.PRNGKey(7), w.shape, dtype=jnp.float64)
+    h_exact = bp.hvp(w, v, x, y)
+    h_fd = bp.fd_hvp(w, v, x, y, eps=1e-5)
+    np.testing.assert_allclose(np.asarray(h_exact), np.asarray(h_fd), rtol=1e-4, atol=1e-6)
+
+
+def test_masked_loss_equals_subset_loss():
+    spec = mlp_spec([5, 3], ["linear"])
+    w = mlp_init(spec, jax.random.PRNGKey(8), dtype=jnp.float64)
+    x, y = _data(jax.random.PRNGKey(9), n=10, spec=spec, dtype=jnp.float64)
+    bp = mlp_batch_problem(spec)
+    mask = jnp.array([1.0] * 6 + [0.0] * 4, dtype=jnp.float64)
+    l_masked = bp.fun_masked(w, x, y, mask)
+    l_subset = bp.fun(w, x[:6], y[:6])
+    np.testing.assert_allclose(float(l_masked), float(l_subset), rtol=1e-12)
+    g_masked = bp.grad_masked(w, x, y, mask)
+    g_subset = bp.grad(w, x[:6], y[:6])
+    np.testing.assert_allclose(np.asarray(g_masked), np.asarray(g_subset), rtol=1e-10)
+
+
+def test_l2_regularization():
+    spec = mlp_spec([5, 3], ["linear"])
+    w = mlp_init(spec, jax.random.PRNGKey(10), dtype=jnp.float64)
+    x, y = _data(jax.random.PRNGKey(11), n=10, spec=spec, dtype=jnp.float64)
+    lam = 1e-3
+    bp0 = mlp_batch_problem(spec)
+    bp1 = mlp_batch_problem(spec, lam=lam)
+    np.testing.assert_allclose(
+        float(bp1.fun(w, x, y)),
+        float(bp0.fun(w, x, y)) + 0.5 * lam * float(jnp.vdot(w, w)),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(bp1.grad(w, x, y)),
+        np.asarray(bp0.grad(w, x, y) + lam * w),
+        rtol=1e-10, atol=1e-12,
+    )
+
+
+def test_evaluate_reports_accuracy_and_mse():
+    spec = mlp_spec([4, 2], ["linear"])
+    # identity-ish weights so argmax is predictable
+    # W is (in=4, out=2) row-major: W[0,0] -> flat 0, W[1,1] -> flat 3
+    w = jnp.zeros(spec.n_params).at[0].set(1.0).at[3].set(1.0)
+    x = jnp.array([[3.0, 0, 0, 0], [0, 3.0, 0, 0]])
+    y = jnp.array([[1.0, 0.0], [0.0, 1.0]])
+    out = evaluate(spec, w, x, y)
+    assert out["accuracy"] == 100.0
+    assert out["n"] == 2

@@ -1,0 +1,110 @@
+"""Property tests for the two-loop recursion and ring buffer.
+
+The reference has no such tests; SURVEY.md §4 calls for validating the
+two-loop against a dense inverse-Hessian oracle.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbfgs_ffnn_tpu.ops.two_loop import (
+    RingState,
+    empty_history_state,
+    ring_push,
+    ring_reset,
+    two_loop,
+)
+
+
+def dense_inverse_hessian(S, Y, n):
+    """Oracle: explicit BFGS inverse-Hessian built from (s, y) pairs,
+    H_{k+1} = (I - rho s y^T) H_k (I - rho y s^T) + rho s s^T, with
+    H_0 = gamma I from the newest pair."""
+    pairs = list(zip(S, Y))
+    s_last, y_last = pairs[-1]
+    gamma = float(s_last @ y_last) / float(y_last @ y_last)
+    H = gamma * np.eye(n)
+    for s, y in pairs:
+        rho = 1.0 / float(y @ s)
+        V = np.eye(n) - rho * np.outer(s, y)
+        H = V @ H @ V.T + rho * np.outer(s, s)
+    return H
+
+
+def push_pairs(hist, pairs):
+    for s, y in pairs:
+        rho = 1.0 / jnp.vdot(y, s)
+        hist = ring_push(hist, s, y, rho, jnp.array(True))
+    return hist
+
+
+@pytest.mark.parametrize("n,m,k", [(8, 5, 3), (8, 5, 5), (16, 4, 9)])
+def test_two_loop_matches_dense_oracle(n, m, k):
+    """two_loop(H, g) == dense-H @ g for any fill level, including a wrapped
+    ring (k > m keeps only the newest m pairs)."""
+    rng = np.random.default_rng(0)
+    pairs = []
+    while len(pairs) < k:
+        s = rng.normal(size=n)
+        y = rng.normal(size=n) + 0.5 * s  # bias towards y^T s > 0
+        if s @ y > 1e-3:
+            pairs.append((s, y))
+
+    hist = empty_history_state(m, n, jnp.float64)
+    hist = push_pairs(hist, [(jnp.asarray(s), jnp.asarray(y)) for s, y in pairs])
+
+    g = jnp.asarray(rng.normal(size=n))
+    r = two_loop(g, hist)
+
+    H = dense_inverse_hessian(*zip(*pairs[-m:]), n) if k >= m else dense_inverse_hessian(
+        *zip(*pairs), n
+    )
+    np.testing.assert_allclose(np.asarray(r), H @ np.asarray(g), rtol=1e-10, atol=1e-12)
+
+
+def test_two_loop_empty_history_is_identity():
+    hist = empty_history_state(4, 6, jnp.float64)
+    g = jnp.arange(6.0)
+    np.testing.assert_allclose(np.asarray(two_loop(g, hist)), np.asarray(g))
+
+
+def test_ring_push_overwrites_oldest():
+    n, m = 3, 2
+    hist = empty_history_state(m, n, jnp.float64)
+    vecs = [jnp.full((n,), float(i + 1)) for i in range(3)]
+    for v in vecs:
+        hist = ring_push(hist, v, v, jnp.vdot(v, v), jnp.array(True))
+    assert int(hist.count) == m
+    # slots now hold vecs[2] (head wrapped) and vecs[1]
+    vals = sorted(float(hist.S[i, 0]) for i in range(m))
+    assert vals == [2.0, 3.0]
+
+
+def test_ring_push_rejected_pair_is_noop():
+    hist = empty_history_state(2, 3, jnp.float64)
+    v = jnp.ones((3,))
+    hist2 = ring_push(hist, v, v, jnp.asarray(1.0), jnp.array(False))
+    assert int(hist2.count) == 0
+    np.testing.assert_array_equal(np.asarray(hist2.S), np.asarray(hist.S))
+
+
+def test_ring_reset():
+    hist = empty_history_state(2, 3, jnp.float64)
+    v = jnp.ones((3,))
+    hist = ring_push(hist, v, v, jnp.asarray(1.0), jnp.array(True))
+    hist = ring_reset(hist, jnp.array(True))
+    assert int(hist.count) == 0 and int(hist.head) == 0
+
+
+def test_gamma_clamp_guard():
+    """clamp_gamma mode: tiny y^T y -> gamma = 1 (reference s_lbfgs.hpp:119-127)."""
+    n, m = 4, 2
+    hist = empty_history_state(m, n, jnp.float64)
+    s = jnp.ones((n,))
+    y = jnp.full((n,), 1e-10)
+    hist = ring_push(hist, s, y, 1.0 / jnp.vdot(y, s), jnp.array(True))
+    g = jnp.ones((n,))
+    r = two_loop(g, hist, clamp_gamma=True)
+    assert bool(jnp.all(jnp.isfinite(r)))
