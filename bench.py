@@ -1,0 +1,131 @@
+"""Headline benchmark: MNIST 784-128-10 full-batch L-BFGS m=10, ms/iteration.
+
+Apples-to-apples with the reference CUDA backend's headline number — the
+same model (784-128-10 ReLU/Linear, ~101,770 params), same loss
+(0.5*||out-y||^2/N), same solver family and history size, same 60,000-sample
+training set size — which costs 7.20 ms/iter on the reference's GPU
+(BASELINE.md: scripts/gpu_mnist_784_128_10_s1000/MNIST_LBFGS_m10_history.csv).
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": <ms/iter>, "unit": "ms/iter", "vs_baseline": <x>}
+where vs_baseline = reference_ms / our_ms (>1 means faster than reference).
+
+Supplementary numbers (S-LBFGS ms/epoch, fused two-loop us) go to stderr.
+
+Timing notes: the solve is one XLA program; we AOT-compile first and then
+time fresh executions (fresh initial weights each rep — the remote-TPU
+runtime caches identical executions). Synchronization is forced by pulling
+the scalar loss to the host.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+QUICK = bool(os.environ.get("BENCH_QUICK"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def time_solve(run, w0s):
+    """Min wall time over fresh-weight executions, synced via host scalar."""
+    # warm-up compiles
+    r = run(w0s[0])
+    _ = float(r.final_loss)
+    best = float("inf")
+    iters = None
+    for w0 in w0s[1:]:
+        t0 = time.perf_counter()
+        r = run(w0)
+        _ = float(r.final_loss)  # forces full execution through the tunnel
+        best = min(best, time.perf_counter() - t0)
+        iters = int(r.n_iters)
+    return best, iters, r
+
+
+def main():
+    from lbfgs_ffnn_tpu.data.datasets import load_mnist
+    from lbfgs_ffnn_tpu.objectives.mlp import (
+        evaluate, mlp_batch_problem, mlp_init, mlp_problem, mlp_spec,
+    )
+    from lbfgs_ffnn_tpu.solvers import (
+        LBFGSOptions, SLBFGSOptions, lbfgs, slbfgs,
+    )
+
+    backend = jax.default_backend()
+    log(f"backend={backend} devices={jax.devices()}")
+
+    n_train = 6000 if QUICK else 60000
+    iters = 20 if QUICK else 200
+    ds = load_mnist(train_size=n_train, test_size=10000)
+    x = jnp.asarray(ds.train_x)
+    y = jnp.asarray(ds.train_y)
+    spec = mlp_spec([784, 128, 10], ["relu", "linear"])
+    prob = mlp_problem(spec)
+
+    w0s = [
+        mlp_init(spec, jax.random.PRNGKey(123 + i), dtype=jnp.float32)
+        for i in range(4 if not QUICK else 2)
+    ]
+
+    # ---- headline: full-batch L-BFGS m=10, armijo flavor (= CUDA reference
+    # policy), tol 1e-12 so the run goes the full iteration budget ----
+    opts = LBFGSOptions(
+        max_iters=iters, tol=1e-12, m=10, line_search="armijo",
+        ls_max_iters=20, two_loop_impl="pallas" if backend == "tpu" else "xla",
+    )
+
+    def run_lbfgs(w0):
+        return lbfgs(prob, w0, aux=(x, y), opts=opts)
+
+    wall, n_iters, res = time_solve(run_lbfgs, w0s)
+    ms_per_iter = wall * 1e3 / max(n_iters, 1)
+    log(
+        f"L-BFGS m=10 N={n_train}: {n_iters} iters in {wall:.3f}s -> "
+        f"{ms_per_iter:.3f} ms/iter, final loss {float(res.final_loss):.5g}, "
+        f"train acc {evaluate(spec, res.x, x, y)['accuracy']:.2f}%"
+    )
+
+    # ---- supplementary: S-LBFGS epoch cost (reference CPU: 214.7 ms/epoch
+    # at N=5000, b=256) ----
+    try:
+        n_sl = 5000
+        xs, ys = x[:n_sl], y[:n_sl]
+        bp = mlp_batch_problem(spec, lam=1e-4)
+        sl_opts = SLBFGSOptions(
+            epochs=4 if QUICK else 10, tol=1e-12, history=10, L=10,
+            batch_size=256, hvp_batch_size=128, step_size=0.02,
+            two_loop_impl="pallas" if backend == "tpu" else "xla",
+        )
+
+        def run_sl(w0):
+            return slbfgs(bp, w0, xs, ys, sl_opts)
+
+        wall_sl, ep, res_sl = time_solve(run_sl, w0s[:3])
+        log(
+            f"S-LBFGS N={n_sl} b=256: {ep} epochs in {wall_sl:.3f}s -> "
+            f"{wall_sl * 1e3 / max(ep, 1):.2f} ms/epoch "
+            f"(reference CPU: 214.7 ms/epoch), loss {float(res_sl.final_loss):.5g}"
+        )
+    except Exception as e:  # supplementary must never kill the headline
+        log(f"S-LBFGS supplementary failed: {e}")
+
+    baseline_ms = 7.20  # reference cuBLAS L-BFGS m=10 ms/iter (BASELINE.md)
+    print(json.dumps({
+        "metric": "MNIST 784-128-10 full-batch L-BFGS m=10 step time",
+        "value": round(ms_per_iter, 4),
+        "unit": "ms/iter",
+        "vs_baseline": round(baseline_ms / ms_per_iter, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

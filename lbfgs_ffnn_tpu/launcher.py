@@ -1,0 +1,240 @@
+"""Unified training API: config + launcher.
+
+Parity layer over the solvers, mirroring the reference's UnifiedConfig /
+UnifiedLauncher / UnifiedOptimizer strategy surface
+(reference: src/unified_optimization.hpp:26-48, src/unified_launcher.hpp):
+``add_layer -> build_network -> set_data -> train(solver, config) -> test()``.
+
+Backend styles select solver flavor the way the reference's Backend template
+tag does (reference: src/network_wrapper.hpp:20-22):
+  * ``"cpu"``  — Wolfe line search for L-BFGS, random minibatch sampling for
+    SGD, random biases at init, no momentum in SGD.
+  * ``"cuda"`` — Armijo+interpolation line search, sequential batch slices,
+    momentum/decay in SGD, zero biases at init.
+Either style runs on TPU; they only change algorithmic policy.
+
+Timing: the solve is AOT-compiled first (``jit(...).lower().compile()``
+equivalent via a warm-up call) so reported wall time excludes compilation —
+the analogue of the reference timing compute, not CUDA context setup.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbfgs_ffnn_tpu.data.datasets import Dataset
+from lbfgs_ffnn_tpu.objectives.mlp import (
+    MLPSpec,
+    evaluate,
+    mlp_batch_problem,
+    mlp_init,
+    mlp_problem,
+    mlp_spec,
+)
+from lbfgs_ffnn_tpu.recorder import History, history_from_result, write_history_csv
+from lbfgs_ffnn_tpu.solvers import (
+    GDOptions,
+    LBFGSOptions,
+    SGDOptions,
+    SLBFGSOptions,
+    gradient_descent,
+    lbfgs,
+    sgd,
+    slbfgs,
+)
+from lbfgs_ffnn_tpu.types import SolveResult
+
+
+@dataclasses.dataclass
+class UnifiedConfig:
+    """Field-for-field mirror of the reference's UnifiedConfig
+    (reference: src/unified_optimization.hpp:26-48)."""
+
+    name: str = "Experiment"
+    max_iters: int = 100
+    tolerance: float = 1e-4
+    learning_rate: float = 0.01
+    momentum: float = 0.0
+    lr_decay: float = 0.0
+    lr_decay_rate: int = 1
+    batch_size: int = 128
+    m_param: int = 10
+    L_param: int = 10
+    b_H_param: int = 0
+    log_interval: int = 10
+    reset_params: bool = True
+    seed: int = 123
+    # TPU-framework extensions
+    lam: float = 0.0             # L2 used by the S-LBFGS strategy (ref: 1e-4)
+    two_loop_impl: str = "xla"   # "xla" | "pallas"
+    write_csv: bool = True
+
+
+@dataclasses.dataclass
+class TrainReport:
+    result: SolveResult
+    history: History
+    wall_time_s: float
+    csv_path: Optional[str]
+    train_eval: dict
+
+    @property
+    def ms_per_iter(self) -> float:
+        n = max(int(self.result.n_iters), 1)
+        return self.wall_time_s * 1e3 / n
+
+
+class Launcher:
+    """MLP training launcher (reference: src/unified_launcher.hpp)."""
+
+    def __init__(self, backend_style: str = "cpu", dtype=jnp.float32):
+        if backend_style not in ("cpu", "cuda"):
+            raise ValueError(backend_style)
+        self.backend_style = backend_style
+        self.dtype = dtype
+        self._dims: list[int] = []
+        self._acts: list[str] = []
+        self.spec: Optional[MLPSpec] = None
+        self.weights: Optional[jax.Array] = None
+        self.dataset: Optional[Dataset] = None
+        self._x = self._y = self._tx = self._ty = None
+
+    # -- network assembly ---------------------------------------------------
+    def add_layer(self, d_in: int, d_out: int, activation: str) -> "Launcher":
+        if not self._dims:
+            self._dims = [d_in]
+        elif self._dims[-1] != d_in:
+            raise ValueError(f"layer input {d_in} != previous output {self._dims[-1]}")
+        self._dims.append(d_out)
+        self._acts.append(activation)
+        return self
+
+    def build_network(self, seed: int = 123) -> "Launcher":
+        self.spec = mlp_spec(self._dims, self._acts)
+        self._bind_params(seed)
+        return self
+
+    def _bind_params(self, seed: int) -> None:
+        bias = "random" if self.backend_style == "cpu" else "zeros"
+        self.weights = mlp_init(
+            self.spec, jax.random.PRNGKey(seed), dtype=self.dtype, bias_init=bias
+        )
+
+    def set_data(self, dataset: Dataset) -> "Launcher":
+        self.dataset = dataset
+        self._x = jnp.asarray(dataset.train_x, dtype=self.dtype)
+        self._y = jnp.asarray(dataset.train_y, dtype=self.dtype)
+        self._tx = jnp.asarray(dataset.test_x, dtype=self.dtype)
+        self._ty = jnp.asarray(dataset.test_y, dtype=self.dtype)
+        return self
+
+    # -- training -----------------------------------------------------------
+    def train(self, solver: str, config: UnifiedConfig, verbose: bool = True) -> TrainReport:
+        if self.spec is None or self._x is None:
+            raise RuntimeError("build_network() and set_data() first")
+        if config.reset_params:
+            # (reference: src/unified_launcher.hpp:49-53)
+            self._bind_params(config.seed)
+
+        run = self._make_run(solver, config)
+        # Warm-up on the real operands compiles the program; the second call
+        # measures pure execution (XLA caches the executable).
+        run()
+        t0 = time.perf_counter()
+        result = run()
+        jax.block_until_ready(result.x)
+        wall = time.perf_counter() - t0
+
+        self.weights = result.x
+        history = history_from_result(result, wall)
+        csv_path = None
+        if config.write_csv:
+            csv_path = f"{config.name}_history.csv"
+            write_history_csv(csv_path, history, config.log_interval)
+
+        train_eval = evaluate(self.spec, self.weights, self._x, self._y)
+        if verbose:
+            print(
+                f"[{config.name}] {solver}: iters={int(result.n_iters)} "
+                f"loss={float(result.final_loss):.6g} "
+                f"gnorm={float(result.final_gnorm):.4g} "
+                f"time={wall:.3f}s ({wall * 1e3 / max(int(result.n_iters), 1):.3f} ms/iter) "
+                f"train_acc={train_eval['accuracy']:.2f}%"
+            )
+        return TrainReport(result, history, wall, csv_path, train_eval)
+
+    def _make_run(self, solver: str, c: UnifiedConfig):
+        cuda = self.backend_style == "cuda"
+        x, y, w0 = self._x, self._y, self.weights
+        N = int(x.shape[0])
+
+        if solver == "gd":
+            # UnifiedGD_CPU disables line search (unified_optimization.hpp:177);
+            # CudaGD adds momentum (cuda/gd.cuh:78-88).
+            prob = mlp_problem(self.spec)
+            opts = GDOptions(
+                max_iters=c.max_iters, tol=c.tolerance, step_size=c.learning_rate,
+                momentum=c.momentum, use_line_search=False,
+            )
+            return lambda: gradient_descent(prob, w0, aux=(x, y), opts=opts)
+
+        if solver == "lbfgs":
+            prob = mlp_problem(self.spec)
+            opts = LBFGSOptions(
+                max_iters=c.max_iters, tol=c.tolerance,
+                m=c.m_param if c.m_param > 0 else 10,
+                line_search="armijo" if cuda else "wolfe",
+                ls_max_iters=20 if cuda else 50,
+                two_loop_impl=c.two_loop_impl,
+            )
+            return lambda: lbfgs(prob, w0, aux=(x, y), opts=opts)
+
+        if solver == "sgd":
+            bp = mlp_batch_problem(self.spec)
+            opts = SGDOptions(
+                epochs=c.max_iters, batch_size=c.batch_size,
+                step_size=c.learning_rate,
+                momentum=c.momentum if cuda else 0.0,
+                sampling="sequential" if cuda else "random",
+                lr_decay=c.lr_decay if c.lr_decay > 0 else 1.0,
+                lr_decay_step=c.lr_decay_rate if c.lr_decay > 0 else 0,
+                tol=c.tolerance if cuda else 0.0,
+                seed=c.seed,
+            )
+            return lambda: sgd(bp, w0, x, y, opts)
+
+        if solver == "slbfgs":
+            # Reference strategy defaults: lambda=1e-4 L2, b_H = batch/2,
+            # m_inner = N/batch (unified_optimization.hpp:314-405).
+            lam = c.lam if c.lam > 0 else 1e-4
+            bp = mlp_batch_problem(self.spec, lam=lam)
+            opts = SLBFGSOptions(
+                epochs=c.max_iters, tol=c.tolerance,
+                m_inner=max(N // c.batch_size, 1),
+                history=c.m_param, L=c.L_param, batch_size=c.batch_size,
+                hvp_batch_size=c.b_H_param if c.b_H_param > 0 else c.batch_size // 2,
+                step_size=c.learning_rate, seed=c.seed,
+                two_loop_impl=c.two_loop_impl,
+            )
+            return lambda: slbfgs(bp, w0, x, y, opts)
+
+        raise ValueError(f"unknown solver {solver!r}")
+
+    # -- evaluation ----------------------------------------------------------
+    def test(self, verbose: bool = True) -> dict:
+        """Evaluate on the held-out split (reference: Network::test /
+        UnifiedLauncher::evaluate)."""
+        out = evaluate(self.spec, self.weights, self._tx, self._ty)
+        if verbose:
+            print(
+                f"=== Test Results ===\nSamples: {out['n']}\n"
+                f"Accuracy: {out['accuracy']:.4g}% ({out['correct']}/{out['n']})\n"
+                f"Total MSE: {out['total_mse']:.6g}\n===================="
+            )
+        return out

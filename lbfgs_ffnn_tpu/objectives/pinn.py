@@ -1,0 +1,191 @@
+"""Physics-informed network objectives: 1D viscous Burgers and a harmonic
+oscillator ODE.
+
+The reference computes PDE derivatives with Enzyme LLVM-plugin AD — forward
+JVPs for u_t/u_x and forward-over-forward for u_xx, per collocation point
+inside an OpenMP loop (reference: tests/burgers/test_burgers_parallel.cpp:
+43-63, 131-210), and nested reverse-mode for the oscillator's u''
+(reference: tests/enzyme_test2.cpp:22-40). Here the same compositions are
+``jax.jvp`` (and jvp-of-jvp) applied to the *batched* network, so every
+derivative is one vectorized forward pass on the MXU instead of a per-point
+scalar loop; the loss gradient is one ``jax.grad`` over the whole weighted
+objective.
+
+Network conventions match the reference PINN: tanh MLP, Xavier-uniform init
+``U(-sqrt(6/(in+out)), +sqrt(6/(in+out)))`` (reference:
+src/enzyme/pinn_network.hpp:74-92 — unseeded there; seeded here).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbfgs_ffnn_tpu.objectives.mlp import MLPSpec, mlp_apply, mlp_spec
+from lbfgs_ffnn_tpu.types import Problem, make_problem
+
+
+def pinn_init(spec: MLPSpec, key: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Xavier-uniform init over the flat parameter vector."""
+    parts = []
+    keys = jax.random.split(key, spec.n_layers)
+    for li, (w_off, b_off, d_in, d_out) in enumerate(spec.layer_slices()):
+        limit = math.sqrt(6.0 / (d_in + d_out))
+        parts.append(
+            jax.random.uniform(
+                keys[li], (d_in * d_out + d_out,),
+                minval=-limit, maxval=limit, dtype=dtype,
+            )
+        )
+    return jnp.concatenate(parts)
+
+
+# ---------------------------------------------------------------------------
+# Burgers: u_t + u*u_x = nu*u_xx,  u(x,0)=-? (ref: u(x,0)=sin(pi x)),
+# u(+-1,t)=0,  nu = 0.01/pi
+# ---------------------------------------------------------------------------
+
+BURGERS_NU = 0.01 / math.pi
+
+
+class BurgersPoints(NamedTuple):
+    ic_xt: jax.Array       # (n_ic, 2)
+    ic_target: jax.Array   # (n_ic,)
+    bc_xt: jax.Array       # (n_bc, 2)
+    col_xt: jax.Array      # (n_col, 2)
+
+
+def burgers_points(
+    dx: float = 0.001, dt: float = 0.005,
+    int_dx: float = 0.01, int_dt: float = 0.02,
+    dtype=jnp.float32,
+) -> BurgersPoints:
+    """Grids matching the reference runner
+    (tests/burgers/test_burgers_parallel.cpp:97-115): IC on x in [-1,1] at
+    t=0 with target sin(pi x); BC at x=+-1 over t in [0,1]; collocation on
+    the int_dx x int_dt lattice."""
+    xs_ic = np.arange(-1.0, 1.0 + dx / 2, dx)
+    ic_xt = np.stack([xs_ic, np.zeros_like(xs_ic)], axis=1)
+    ic_target = np.sin(np.pi * xs_ic)
+
+    ts = np.arange(0.0, 1.0 + dt / 2, dt)
+    bc_left = np.stack([-np.ones_like(ts), ts], axis=1)
+    bc_right = np.stack([np.ones_like(ts), ts], axis=1)
+    bc_xt = np.concatenate([bc_left, bc_right], axis=0)
+
+    xs = np.arange(-1.0, 1.0 + int_dx / 2, int_dx)
+    tc = np.arange(0.0, 1.0 + int_dt / 2, int_dt)
+    gx, gt = np.meshgrid(xs, tc, indexing="ij")
+    col_xt = np.stack([gx.ravel(), gt.ravel()], axis=1)
+
+    return BurgersPoints(
+        ic_xt=jnp.asarray(ic_xt, dtype=dtype),
+        ic_target=jnp.asarray(ic_target, dtype=dtype),
+        bc_xt=jnp.asarray(bc_xt, dtype=dtype),
+        col_xt=jnp.asarray(col_xt, dtype=dtype),
+    )
+
+
+def default_burgers_spec(width: int = 20) -> MLPSpec:
+    """2-20-20-20-1 tanh net (reference: test_burgers_parallel.cpp:25-29)."""
+    return mlp_spec([2, width, width, width, 1], ["tanh", "tanh", "tanh", "linear"])
+
+
+def _u(spec: MLPSpec, w: jax.Array, xt: jax.Array) -> jax.Array:
+    return mlp_apply(spec, w, xt)[:, 0]
+
+
+def burgers_residual(spec: MLPSpec, w: jax.Array, xt: jax.Array, nu: float = BURGERS_NU) -> jax.Array:
+    """PDE residual u_t + u*u_x - nu*u_xx at each point, all derivatives via
+    batched forward-mode (the vectorized analogue of the reference's
+    __enzyme_fwddiff calls, test_burgers_parallel.cpp:43-63)."""
+    n = xt.shape[0]
+    ex = jnp.tile(jnp.asarray([[1.0, 0.0]], dtype=xt.dtype), (n, 1))
+    et = jnp.tile(jnp.asarray([[0.0, 1.0]], dtype=xt.dtype), (n, 1))
+
+    def u_fn(pts):
+        return _u(spec, w, pts)
+
+    u, u_x = jax.jvp(u_fn, (xt,), (ex,))
+    _, u_t = jax.jvp(u_fn, (xt,), (et,))
+
+    # forward-over-forward for u_xx
+    def u_x_fn(pts):
+        return jax.jvp(u_fn, (pts,), (jnp.ones_like(pts) * jnp.asarray([1.0, 0.0], dtype=pts.dtype),))[1]
+
+    _, u_xx = jax.jvp(u_x_fn, (xt,), (ex,))
+    return u_t + u * u_x - nu * u_xx
+
+
+def burgers_problem(
+    spec: MLPSpec | None = None,
+    w_ic: float = 20.0,
+    w_bc: float = 20.0,
+    w_pde: float = 1.0,
+    nu: float = BURGERS_NU,
+) -> Problem:
+    """Weighted IC/BC/PDE mean-squared loss
+    (reference: test_burgers_parallel.cpp:127-161)."""
+    spec = spec or default_burgers_spec()
+
+    def fun(w, aux):
+        pts: BurgersPoints = aux
+        u_ic = _u(spec, w, pts.ic_xt)
+        loss_ic = jnp.mean((u_ic - pts.ic_target) ** 2)
+        u_bc = _u(spec, w, pts.bc_xt)
+        loss_bc = jnp.mean(u_bc**2)
+        r = burgers_residual(spec, w, pts.col_xt, nu)
+        loss_pde = jnp.mean(r**2)
+        return w_ic * loss_ic + w_bc * loss_bc + w_pde * loss_pde
+
+    return make_problem(fun)
+
+
+# ---------------------------------------------------------------------------
+# Harmonic oscillator ODE: u'' + u = 0, u(0)=0, u'(0)=1  =>  u = sin(x)
+# (reference: tests/enzyme_test2.cpp)
+# ---------------------------------------------------------------------------
+
+def default_oscillator_spec(width: int = 16) -> MLPSpec:
+    return mlp_spec([1, width, width, 1], ["tanh", "tanh", "linear"])
+
+
+def oscillator_problem(
+    spec: MLPSpec | None = None,
+    w_ode: float = 1.0,
+    w_bc: float = 1.0,
+) -> Problem:
+    """ODE residual + initial conditions, with u'' from jvp-of-jvp (the
+    reference nests reverse-mode Enzyme for the same second derivative,
+    enzyme_test2.cpp:22-40)."""
+    spec = spec or default_oscillator_spec()
+
+    def fun(w, aux):
+        xs = aux  # (n, 1) collocation points
+        ones = jnp.ones_like(xs)
+
+        def u_fn(pts):
+            return mlp_apply(spec, w, pts)[:, 0]
+
+        u, du = jax.jvp(u_fn, (xs,), (ones,))
+
+        def du_fn(pts):
+            return jax.jvp(u_fn, (pts,), (jnp.ones_like(pts),))[1]
+
+        _, ddu = jax.jvp(du_fn, (xs,), (ones,))
+        ode = jnp.mean((ddu + u) ** 2)
+
+        x0 = jnp.zeros((1, 1), dtype=xs.dtype)
+        u0, du0 = jax.jvp(u_fn, (x0,), (jnp.ones_like(x0),))
+        bc = u0[0] ** 2 + (du0[0] - 1.0) ** 2
+        return w_ode * ode + w_bc * bc
+
+    return make_problem(fun)
+
+
+def oscillator_points(n: int = 64, x_max: float = math.pi, dtype=jnp.float32) -> jax.Array:
+    return jnp.linspace(0.0, x_max, n, dtype=dtype).reshape(-1, 1)

@@ -1,0 +1,206 @@
+"""Fused Pallas TPU kernel for the L-BFGS two-loop recursion.
+
+The reference CUDA implementation issues ~4m separate cuBLAS dot/axpy calls
+per direction computation, each a host-synchronizing launch
+(reference: src/cuda/lbfgs.cuh:206-261) — at m=100 that is ~400 launches and
+the dominant per-iteration cost (BASELINE.md: the m=10 -> m=100 gap is
+~4.3 ms/iter of almost pure launch/sync latency).
+
+This kernel runs the *entire* recursion — both passes, all dots, axpys, the
+gamma scaling — in one Pallas program:
+
+  * q and z live in VMEM for the whole kernel (no HBM round-trips between
+    the 2*count sequential stages);
+  * the (s_i, y_i) history rows stream HBM -> VMEM with double-buffered
+    async DMA, so the next pair's fetch overlaps the current pair's
+    dot+axpy;
+  * rho, head, count are scalars in SMEM; ring-index arithmetic happens
+    in-kernel, so ring state never forces a re-layout of the history.
+
+The recursion is inherently sequential in the history index (q mutates), so
+the kernel is HBM-bandwidth-bound: ~4*count*n*4 bytes per call, ~1.1 us per
+(pair, pass) stage at v5e's ~819 GB/s for n~100k — versus the reference's
+per-launch overhead alone of ~10-20 us.
+
+VMEM budget: 6 row buffers (q, out, 2x s, 2x y) => fits n up to ~500k f32
+params; the wrapper falls back to the XLA implementation above that.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbfgs_ffnn_tpu.ops.two_loop import RingState, two_loop
+
+# 6 per-row VMEM buffers; keep total under ~12 MB of the ~16 MB VMEM.
+_VMEM_ROW_LIMIT = 512 * 1024  # f32 elements per row
+
+
+def _kernel(meta_ref, rho_ref, v_ref, s_hbm, y_hbm, out_ref,
+            q_ref, sbuf, ybuf, alphas_ref, scal_ref, s_sem, y_sem,
+            *, m: int, clamp_gamma: bool, gamma_min: float, gamma_max: float):
+    head = meta_ref[0]
+    count = meta_ref[1]
+
+    def start_fetch(slot, i):
+        pltpu.make_async_copy(s_hbm.at[i], sbuf.at[slot], s_sem.at[slot]).start()
+        pltpu.make_async_copy(y_hbm.at[i], ybuf.at[slot], y_sem.at[slot]).start()
+
+    def wait_fetch(slot, i):
+        pltpu.make_async_copy(s_hbm.at[i], sbuf.at[slot], s_sem.at[slot]).wait()
+        pltpu.make_async_copy(y_hbm.at[i], ybuf.at[slot], y_sem.at[slot]).wait()
+
+    q_ref[:] = v_ref[:]
+
+    # ---- backward pass: newest -> oldest (j = 0 is the newest pair) ----
+    def slot_bwd(j):
+        return (head - 1 - j) % m
+
+    @pl.when(count > 0)
+    def _():
+        start_fetch(0, slot_bwd(0))
+
+    def bwd(j, carry):
+        cur = j % 2
+        nxt = (j + 1) % 2
+
+        @pl.when(j + 1 < count)
+        def _():
+            start_fetch(nxt, slot_bwd(j + 1))
+
+        i = slot_bwd(j)
+        wait_fetch(cur, i)
+        s_row = sbuf[cur]
+        y_row = ybuf[cur]
+
+        # gamma = (s^T y)/(y^T y) of the newest pair (j == 0)
+        @pl.when(j == 0)
+        def _():
+            ys = jnp.sum(s_row * y_row)
+            yy = jnp.sum(y_row * y_row)
+            if clamp_gamma:
+                gamma = jnp.where(jnp.abs(yy) < 1e-12, 1.0, ys / jnp.where(yy == 0, 1.0, yy))
+                gamma = jnp.clip(gamma, gamma_min, gamma_max)
+            else:
+                gamma = jnp.where(yy > 0, ys / jnp.where(yy == 0, 1.0, yy), 1.0)
+            scal_ref[0] = gamma
+
+        a = rho_ref[i] * jnp.sum(s_row * q_ref[:])
+        alphas_ref[count - 1 - j] = a
+        q_ref[:] = q_ref[:] - a * y_row
+        return carry
+
+    lax.fori_loop(0, count, bwd, 0)
+
+    @pl.when(count == 0)
+    def _():
+        scal_ref[0] = jnp.float32(1.0)
+
+    out_ref[:] = scal_ref[0] * q_ref[:]
+
+    # ---- forward pass: oldest -> newest ----
+    def slot_fwd(li):
+        return (head - count + li) % m
+
+    @pl.when(count > 0)
+    def _():
+        start_fetch(0, slot_fwd(0))
+
+    def fwd(li, carry):
+        cur = li % 2
+        nxt = (li + 1) % 2
+
+        @pl.when(li + 1 < count)
+        def _():
+            start_fetch(nxt, slot_fwd(li + 1))
+
+        i = slot_fwd(li)
+        wait_fetch(cur, i)
+        s_row = sbuf[cur]
+        y_row = ybuf[cur]
+        b = rho_ref[i] * jnp.sum(y_row * out_ref[:])
+        out_ref[:] = out_ref[:] + (alphas_ref[li] - b) * s_row
+        return carry
+
+    lax.fori_loop(0, count, fwd, 0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("clamp_gamma", "gamma_min", "gamma_max", "interpret")
+)
+def _two_loop_pallas_padded(
+    v_pad, S, Y, rho, head, count,
+    clamp_gamma: bool, gamma_min: float, gamma_max: float, interpret: bool,
+):
+    m, n_pad = S.shape
+    rows = n_pad // 128
+    v2 = v_pad.reshape(rows, 128)
+    S3 = S.reshape(m, rows, 128)
+    Y3 = Y.reshape(m, rows, 128)
+    meta = jnp.stack([head.astype(jnp.int32), count.astype(jnp.int32)])
+
+    kern = functools.partial(
+        _kernel, m=m, clamp_gamma=clamp_gamma,
+        gamma_min=gamma_min, gamma_max=gamma_max,
+    )
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((rows, 128), v_pad.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # meta (head, count)
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # rho (m,)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # v
+            pl.BlockSpec(memory_space=pl.ANY),    # S (stays off-chip)
+            pl.BlockSpec(memory_space=pl.ANY),    # Y
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((rows, 128), v_pad.dtype),      # q
+            pltpu.VMEM((2, rows, 128), v_pad.dtype),   # s double buffer
+            pltpu.VMEM((2, rows, 128), v_pad.dtype),   # y double buffer
+            pltpu.SMEM((m,), v_pad.dtype),             # alphas
+            pltpu.SMEM((1,), v_pad.dtype),             # gamma
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=False),
+    )(meta, rho, v2, S3, Y3)
+    return out.reshape(n_pad)
+
+
+def two_loop_pallas(
+    v: jax.Array,
+    hist: RingState,
+    *,
+    clamp_gamma: bool = False,
+    gamma_min: float = 1e-6,
+    gamma_max: float = 1e6,
+) -> jax.Array:
+    """Drop-in replacement for :func:`lbfgs_ffnn_tpu.ops.two_loop.two_loop`.
+
+    Dispatches to the fused kernel when the row size fits the VMEM budget
+    (interpreted off-TPU so unit tests exercise the same kernel logic);
+    falls back to the XLA implementation otherwise.
+    """
+    m, n_pad = hist.S.shape
+    n = v.shape[0]
+    if n_pad > _VMEM_ROW_LIMIT or v.dtype not in (jnp.float32, jnp.dtype("float32")):
+        return two_loop(v, hist, clamp_gamma=clamp_gamma,
+                        gamma_min=gamma_min, gamma_max=gamma_max)
+    if n == n_pad:
+        v_pad = v
+    else:
+        v_pad = jnp.zeros((n_pad,), dtype=v.dtype).at[:n].set(v)
+    interpret = jax.default_backend() != "tpu"
+    out = _two_loop_pallas_padded(
+        v_pad, hist.S, hist.Y, hist.rho, hist.head, hist.count,
+        clamp_gamma, gamma_min, gamma_max, interpret,
+    )
+    return out[:n]

@@ -23,8 +23,21 @@ import jax.numpy as jnp
 from jax import lax
 
 
+LANE_ALIGN = 1024  # 8 sublanes x 128 lanes, the float32 TPU tile
+
+
+def _round_up(x: int, k: int = LANE_ALIGN) -> int:
+    return -(-x // k) * k
+
+
 class RingState(NamedTuple):
-    """Fixed-shape curvature history: S, Y are (m, n); rho is (m,)."""
+    """Fixed-shape curvature history.
+
+    S, Y are stored TPU-tile padded ``(m, n_pad)`` with ``n_pad`` the
+    parameter count rounded up to the float32 tile (8x128); pushes pad,
+    reads slice. Zero padding is inert in every dot/axpy of the recursion,
+    and the Pallas kernel gets aligned rows with no per-call reshuffle.
+    """
 
     S: jax.Array
     Y: jax.Array
@@ -34,13 +47,21 @@ class RingState(NamedTuple):
 
 
 def empty_history_state(m: int, n: int, dtype=jnp.float32) -> RingState:
+    n_pad = _round_up(n)
     return RingState(
-        S=jnp.zeros((m, n), dtype=dtype),
-        Y=jnp.zeros((m, n), dtype=dtype),
+        S=jnp.zeros((m, n_pad), dtype=dtype),
+        Y=jnp.zeros((m, n_pad), dtype=dtype),
         rho=jnp.zeros((m,), dtype=dtype),
         head=jnp.int32(0),
         count=jnp.int32(0),
     )
+
+
+def _pad_to(v: jax.Array, n_pad: int) -> jax.Array:
+    n = v.shape[0]
+    if n == n_pad:
+        return v
+    return jnp.zeros((n_pad,), dtype=v.dtype).at[:n].set(v)
 
 
 def ring_push(hist: RingState, s: jax.Array, y: jax.Array, rho: jax.Array, accept) -> RingState:
@@ -50,7 +71,9 @@ def ring_push(hist: RingState, s: jax.Array, y: jax.Array, rho: jax.Array, accep
     the reference's curvature gate ``y^T s > 1e-10`` guarding push_back
     (reference: src/minimizer/lbfgs.hpp:77-82, src/cuda/lbfgs.cuh:163-168).
     """
-    m = hist.S.shape[0]
+    m, n_pad = hist.S.shape
+    s = _pad_to(s, n_pad)
+    y = _pad_to(y, n_pad)
     S = jnp.where(accept, hist.S.at[hist.head].set(s), hist.S)
     Y = jnp.where(accept, hist.Y.at[hist.head].set(y), hist.Y)
     rho_arr = jnp.where(accept, hist.rho.at[hist.head].set(rho), hist.rho)
@@ -82,8 +105,10 @@ def two_loop(
     stochastic variant's guards apply (gamma -> 1 when y^T y ~ 0, clamp to
     [1e-6, 1e6]; reference behavior of src/minimizer/s_lbfgs.hpp:119-127).
     """
-    m, _ = hist.S.shape
+    m, n_pad = hist.S.shape
     S, Y, rho, head, count = hist
+    n = v.shape[0]
+    v = _pad_to(v, n_pad)
 
     def phys(li):
         # logical index (0 = oldest) -> physical ring slot
@@ -128,4 +153,4 @@ def two_loop(
         return z + coeff * S[i]
 
     z = lax.fori_loop(0, m, fwd, z)
-    return z
+    return z[:n]

@@ -59,6 +59,7 @@ class BatchProblem(NamedTuple):
     fun_masked: Callable[..., jax.Array]  # (w, xb, yb, mask) -> scalar
     grad_masked: Callable[..., jax.Array]
     per_sample: Callable[..., jax.Array]  # (w, xb, yb) -> (b,) losses, no reg
+    reg: Optional[Callable[..., jax.Array]] = None  # (w,) -> scalar, or None
 
     def hvp(self, w: jax.Array, v: jax.Array, xb: jax.Array, yb: jax.Array) -> jax.Array:
         """Exact HVP of the batch loss (replaces the reference's central
@@ -143,6 +144,7 @@ def make_batch_problem(
         fun_masked=fun_masked,
         grad_masked=jax.grad(fun_masked),
         per_sample=per_sample,
+        reg=reg,
     )
 
 

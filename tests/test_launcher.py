@@ -1,0 +1,79 @@
+"""Launcher / config / recorder integration tests (the reference's MNIST
+runner flow at small scale: tests/mnist/main-cpu.cpp)."""
+
+import numpy as np
+import pytest
+
+from lbfgs_ffnn_tpu.data.datasets import load_mnist
+from lbfgs_ffnn_tpu.launcher import Launcher, UnifiedConfig
+from lbfgs_ffnn_tpu.recorder import read_history_csv
+
+DS = load_mnist(train_size=512, test_size=256)
+
+
+def make_launcher(style="cpu"):
+    return (
+        Launcher(backend_style=style)
+        .add_layer(784, 32, "relu")
+        .add_layer(32, 10, "linear")
+        .build_network()
+        .set_data(DS)
+    )
+
+
+@pytest.mark.parametrize("solver,style", [
+    ("gd", "cpu"), ("lbfgs", "cpu"), ("sgd", "cpu"), ("slbfgs", "cpu"),
+    ("lbfgs", "cuda"), ("sgd", "cuda"),
+])
+def test_train_all_solvers(solver, style, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    launcher = make_launcher(style)
+    cfg = UnifiedConfig(
+        name=f"T_{solver}_{style}", max_iters=8, tolerance=1e-6,
+        learning_rate=0.05, momentum=0.9 if style == "cuda" else 0.0,
+        batch_size=64, m_param=5, L_param=3, log_interval=1,
+    )
+    report = launcher.train(solver, cfg, verbose=False)
+    assert int(report.result.n_iters) > 0
+    assert np.isfinite(report.history.loss).all()
+    # loss went down vs iteration 0
+    assert report.history.loss[-1] <= report.history.loss[0]
+    # CSV is written and parseable, reference column format
+    hist = read_history_csv(report.csv_path)
+    assert hist.n == report.history.n
+    with open(report.csv_path) as f:
+        assert f.readline().strip() == "Iteration,Loss,GradNorm,TimeMs"
+    out = launcher.test(verbose=False)
+    assert 0.0 <= out["accuracy"] <= 100.0
+
+
+def test_reset_params_reproducible(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    launcher = make_launcher()
+    cfg = UnifiedConfig(name="R1", max_iters=3, learning_rate=0.05,
+                        batch_size=64, log_interval=1)
+    r1 = launcher.train("sgd", cfg, verbose=False)
+    r2 = launcher.train("sgd", cfg, verbose=False)  # reset_params re-inits
+    np.testing.assert_array_equal(np.asarray(r1.result.x), np.asarray(r2.result.x))
+
+
+def test_log_interval_strides_csv(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    launcher = make_launcher()
+    cfg = UnifiedConfig(name="Stride", max_iters=10, learning_rate=0.05,
+                        batch_size=64, log_interval=5)
+    report = launcher.train("sgd", cfg, verbose=False)
+    hist = read_history_csv(report.csv_path)
+    assert hist.n == 2  # rows 0 and 5
+
+
+def test_cuda_style_inits_zero_biases():
+    l_cuda = make_launcher("cuda")
+    spec = l_cuda.spec
+    w = np.asarray(l_cuda.weights)
+    # first layer bias block
+    b0 = w[784 * 32 : 784 * 32 + 32]
+    np.testing.assert_array_equal(b0, np.zeros(32, dtype=w.dtype))
+    l_cpu = make_launcher("cpu")
+    w2 = np.asarray(l_cpu.weights)
+    assert np.abs(w2[784 * 32 : 784 * 32 + 32]).sum() > 0

@@ -1,0 +1,153 @@
+"""Data-parallel tests on the virtual 8-device CPU mesh.
+
+Gate: distributed evaluation is numerically identical (up to reduction
+order) to single-device evaluation, and whole solvers run unchanged on
+sharded operands (GSPMD) and on explicit shard_map-wrapped problems.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbfgs_ffnn_tpu.data.datasets import load_mnist
+from lbfgs_ffnn_tpu.objectives.mlp import mlp_batch_problem, mlp_init, mlp_problem, mlp_spec
+from lbfgs_ffnn_tpu.parallel import (
+    data_parallel_batch_problem,
+    data_parallel_problem,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+from lbfgs_ffnn_tpu.solvers import (
+    LBFGSOptions,
+    SGDOptions,
+    SLBFGSOptions,
+    lbfgs,
+    sgd,
+    slbfgs,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs multi-device (virtual CPU farm)"
+)
+
+SPEC = mlp_spec([784, 32, 10], ["relu", "linear"])
+DS = load_mnist(train_size=512, test_size=128)
+X = jnp.asarray(DS.train_x)
+Y = jnp.asarray(DS.train_y)
+W0 = mlp_init(SPEC, jax.random.PRNGKey(123), dtype=jnp.float32)
+
+
+def test_mesh_construction():
+    mesh = make_mesh()
+    assert mesh.shape["data"] == len(jax.devices())
+    mesh4 = make_mesh(4)
+    assert mesh4.shape["data"] == 4
+
+
+def test_shard_map_problem_matches_single_device():
+    mesh = make_mesh()
+    bp = mlp_batch_problem(SPEC)
+    dp = data_parallel_batch_problem(bp, mesh)
+    xs, ys = shard_batch(mesh, X, Y)
+    w = replicate(mesh, W0)
+
+    np.testing.assert_allclose(
+        float(dp.fun(w, xs, ys)), float(bp.fun(W0, X, Y)), rtol=1e-6
+    )
+    g_dp = dp.grad(w, xs, ys)
+    g_ref = bp.grad(W0, X, Y)
+    np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_ref), rtol=1e-4, atol=1e-6)
+    v_dp, g2 = dp.value_and_grad(w, xs, ys)
+    np.testing.assert_allclose(float(v_dp), float(bp.fun(W0, X, Y)), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(g_ref), rtol=1e-4, atol=1e-6)
+
+
+def test_shard_map_masked_matches():
+    mesh = make_mesh()
+    bp = mlp_batch_problem(SPEC)
+    dp = data_parallel_batch_problem(bp, mesh)
+    mask = (jnp.arange(X.shape[0]) < 300).astype(X.dtype)
+    xs, ys, ms = shard_batch(mesh, X, Y, mask)
+    w = replicate(mesh, W0)
+    np.testing.assert_allclose(
+        float(dp.fun_masked(w, xs, ys, ms)),
+        float(bp.fun_masked(W0, X, Y, mask)),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dp.grad_masked(w, xs, ys, ms)),
+        np.asarray(bp.grad_masked(W0, X, Y, mask)),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_full_batch_problem_shard_map():
+    mesh = make_mesh()
+    prob = mlp_problem(SPEC)
+    dp = data_parallel_problem(prob, mesh)
+    xs, ys = shard_batch(mesh, X, Y)
+    w = replicate(mesh, W0)
+    np.testing.assert_allclose(
+        float(dp.fun(w, (xs, ys))), float(prob.fun(W0, (X, Y))), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dp.grad(w, (xs, ys))),
+        np.asarray(prob.grad(W0, (X, Y))),
+        rtol=1e-4, atol=1e-6,
+    )
+
+
+def test_lbfgs_on_gspmd_sharded_data():
+    """Solver runs unchanged with sharded operands: XLA partitions the batch
+    GEMMs and inserts the gradient all-reduce."""
+    mesh = make_mesh()
+    prob = mlp_problem(SPEC)
+    xs, ys = shard_batch(mesh, X, Y)
+    opts = LBFGSOptions(max_iters=5, tol=1e-8, m=5)
+    res_dp = lbfgs(prob, W0, aux=(xs, ys), opts=opts)
+    res_1d = lbfgs(prob, W0, aux=(X, Y), opts=opts)
+    np.testing.assert_allclose(
+        float(res_dp.final_loss), float(res_1d.final_loss), rtol=1e-4
+    )
+
+
+def test_lbfgs_on_shard_map_problem():
+    mesh = make_mesh()
+    prob = mlp_problem(SPEC)
+    dp = data_parallel_problem(prob, mesh)
+    xs, ys = shard_batch(mesh, X, Y)
+    w = replicate(mesh, W0)
+    opts = LBFGSOptions(max_iters=5, tol=1e-8, m=5)
+    res_dp = lbfgs(dp, w, aux=(xs, ys), opts=opts)
+    res_1d = lbfgs(prob, W0, aux=(X, Y), opts=opts)
+    np.testing.assert_allclose(
+        float(res_dp.final_loss), float(res_1d.final_loss), rtol=1e-4
+    )
+
+
+def test_slbfgs_on_gspmd_sharded_data():
+    mesh = make_mesh()
+    bp = mlp_batch_problem(SPEC, lam=1e-4)
+    xs, ys = shard_batch(mesh, X, Y)
+    w = replicate(mesh, W0)
+    opts = SLBFGSOptions(epochs=2, history=5, L=3, batch_size=64, step_size=0.05)
+    res = slbfgs(bp, w, xs, ys, opts)
+    res_1d = slbfgs(bp, W0, X, Y, opts)
+    # identical sampling (seeded fold_in) -> same trajectory up to reduction order
+    np.testing.assert_allclose(
+        float(res.final_loss), float(res_1d.final_loss), rtol=1e-3
+    )
+
+
+def test_sgd_on_gspmd_sharded_data():
+    mesh = make_mesh()
+    bp = mlp_batch_problem(SPEC)
+    xs, ys = shard_batch(mesh, X, Y)
+    opts = SGDOptions(epochs=3, batch_size=64, step_size=0.05)
+    res = sgd(bp, W0, xs, ys, opts)
+    res_1d = sgd(bp, W0, X, Y, opts)
+    np.testing.assert_allclose(
+        float(res.final_loss), float(res_1d.final_loss), rtol=1e-3
+    )

@@ -1,0 +1,91 @@
+"""PINN objective tests: derivative correctness against closed forms, and
+small training runs (the reference trains Burgers with L-BFGS m=100 and
+validates the oscillator against sin(x), tests/burgers/*, enzyme_test2.cpp)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbfgs_ffnn_tpu.objectives.mlp import mlp_apply, mlp_spec
+from lbfgs_ffnn_tpu.objectives.pinn import (
+    BURGERS_NU,
+    burgers_points,
+    burgers_problem,
+    burgers_residual,
+    default_burgers_spec,
+    default_oscillator_spec,
+    oscillator_points,
+    oscillator_problem,
+    pinn_init,
+)
+from lbfgs_ffnn_tpu.solvers import LBFGSOptions, lbfgs
+
+
+def test_pinn_init_xavier_bounds():
+    spec = default_burgers_spec()
+    w = pinn_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+    assert w.shape == (spec.n_params,)
+    limit0 = math.sqrt(6.0 / (2 + 20))
+    first = np.asarray(w[: 2 * 20 + 20])
+    assert np.abs(first).max() <= limit0 + 1e-12
+    assert np.abs(first).max() > 0.5 * limit0  # actually fills the range
+
+
+def test_burgers_residual_derivatives_vs_fd():
+    """jvp-composed u_t, u_x, u_xx agree with finite differences of the net."""
+    spec = default_burgers_spec(width=8)
+    w = pinn_init(spec, jax.random.PRNGKey(1), dtype=jnp.float64)
+    xt = jnp.asarray([[0.3, 0.4], [-0.5, 0.9]], dtype=jnp.float64)
+    r = burgers_residual(spec, w, xt)
+
+    def u(pt):
+        return float(mlp_apply(spec, w, pt.reshape(1, 2))[0, 0])
+
+    eps = 1e-6
+    for k in range(xt.shape[0]):
+        p = np.asarray(xt[k])
+        ux = (u(jnp.asarray(p + [eps, 0])) - u(jnp.asarray(p - [eps, 0]))) / (2 * eps)
+        ut = (u(jnp.asarray(p + [0, eps])) - u(jnp.asarray(p - [0, eps]))) / (2 * eps)
+        uxx = (
+            u(jnp.asarray(p + [eps, 0])) - 2 * u(jnp.asarray(p)) + u(jnp.asarray(p - [eps, 0]))
+        ) / eps**2
+        expected = ut + u(jnp.asarray(p)) * ux - BURGERS_NU * uxx
+        np.testing.assert_allclose(float(r[k]), expected, rtol=1e-4, atol=1e-6)
+
+
+def test_burgers_points_shapes_match_reference_grids():
+    pts = burgers_points()
+    assert pts.ic_xt.shape[0] == 2001   # x in [-1,1] step .001
+    assert pts.bc_xt.shape[0] == 402    # 2 walls x 201 times
+    assert pts.col_xt.shape[0] == 201 * 51
+    np.testing.assert_allclose(
+        np.asarray(pts.ic_target), np.sin(np.pi * np.asarray(pts.ic_xt[:, 0])),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_burgers_training_reduces_loss():
+    """Short L-BFGS run on a coarse grid must cut the loss substantially."""
+    spec = default_burgers_spec(width=10)
+    prob = burgers_problem(spec)
+    pts = burgers_points(dx=0.05, dt=0.1, int_dx=0.1, int_dt=0.2, dtype=jnp.float64)
+    w0 = pinn_init(spec, jax.random.PRNGKey(2), dtype=jnp.float64)
+    f0 = float(prob.fun(w0, pts))
+    res = lbfgs(prob, w0, aux=pts, opts=LBFGSOptions(max_iters=150, tol=1e-12, m=20))
+    assert float(res.final_loss) < 0.05 * f0
+
+
+def test_oscillator_learns_sin():
+    """Train u''+u=0, u(0)=0, u'(0)=1 and validate against sin(x) — the
+    reference gate (enzyme_test2.cpp:87-94)."""
+    spec = default_oscillator_spec(width=12)
+    prob = oscillator_problem(spec)
+    xs = oscillator_points(48, x_max=math.pi, dtype=jnp.float64)
+    w0 = pinn_init(spec, jax.random.PRNGKey(3), dtype=jnp.float64)
+    res = lbfgs(prob, w0, aux=xs, opts=LBFGSOptions(max_iters=400, tol=1e-12, m=30))
+    u = mlp_apply(spec, res.x, xs)[:, 0]
+    err = float(jnp.max(jnp.abs(u - jnp.sin(xs[:, 0]))))
+    assert err < 0.05, f"max |u - sin| = {err}"

@@ -1,0 +1,130 @@
+"""Stochastic solver tests: SGD variants and S-LBFGS on a small learnable
+classification problem (synthetic MNIST-like, real reference label stream)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbfgs_ffnn_tpu.data.datasets import load_mnist
+from lbfgs_ffnn_tpu.objectives.mlp import (
+    evaluate,
+    mlp_batch_problem,
+    mlp_init,
+    mlp_problem,
+    mlp_spec,
+)
+from lbfgs_ffnn_tpu.solvers import (
+    LBFGSOptions,
+    SGDOptions,
+    SLBFGSOptions,
+    lbfgs,
+    sgd,
+    slbfgs,
+)
+
+SPEC = mlp_spec([784, 32, 10], ["relu", "linear"])
+DS = load_mnist(train_size=512, test_size=256)
+X = jnp.asarray(DS.train_x)
+Y = jnp.asarray(DS.train_y)
+BP = mlp_batch_problem(SPEC)
+W0 = mlp_init(SPEC, jax.random.PRNGKey(123), dtype=jnp.float32)
+F0 = float(BP.fun(W0, X, Y))
+
+
+def test_sgd_random_reduces_loss():
+    res = sgd(BP, W0, X, Y, SGDOptions(epochs=20, batch_size=64, step_size=0.05))
+    assert float(res.final_loss) < 0.6 * F0
+    hist = np.asarray(res.loss_history)
+    assert np.isfinite(hist[:20]).all()
+
+
+def test_sgd_sequential_with_momentum_and_decay():
+    res = sgd(
+        BP, W0, X, Y,
+        SGDOptions(
+            epochs=20, batch_size=100, step_size=0.05, momentum=0.9,
+            sampling="sequential", lr_decay=0.8, lr_decay_step=5,
+        ),
+    )
+    # 512 % 100 != 0 exercises the masked ragged trailing batch
+    assert float(res.final_loss) < 0.6 * F0
+
+
+def test_sgd_rel_improvement_stopping():
+    res = sgd(
+        BP, W0, X, Y,
+        SGDOptions(epochs=500, batch_size=64, step_size=1e-5, tol=1e-2,
+                   sampling="sequential"),
+    )
+    assert bool(res.converged)
+    assert int(res.n_iters) < 500
+
+
+def test_sgd_deterministic():
+    o = SGDOptions(epochs=5, batch_size=64, step_size=0.05, seed=7)
+    r1 = sgd(BP, W0, X, Y, o)
+    r2 = sgd(BP, W0, X, Y, o)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_slbfgs_reduces_loss_and_beats_plain_sgd():
+    opts = SLBFGSOptions(
+        epochs=10, tol=1e-6, history=10, L=5, batch_size=64,
+        hvp_batch_size=32, step_size=0.05,
+    )
+    res = slbfgs(BP, W0, X, Y, opts)
+    assert float(res.final_loss) < 0.5 * F0
+    sgd_res = sgd(BP, W0, X, Y, SGDOptions(epochs=10, batch_size=64, step_size=0.05))
+    # variance reduction + curvature should not be worse than plain SGD here
+    assert float(res.final_loss) <= float(sgd_res.final_loss) * 1.5
+
+
+def test_slbfgs_deterministic():
+    opts = SLBFGSOptions(epochs=3, history=5, L=3, batch_size=64, step_size=0.05)
+    r1 = slbfgs(BP, W0, X, Y, opts)
+    r2 = slbfgs(BP, W0, X, Y, opts)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_slbfgs_fd_hvp_mode_close_to_exact():
+    """The reference computes curvature with central-difference HVPs
+    (s_lbfgs.hpp:88-101); the exact-jvp default must track it closely."""
+    kw = dict(epochs=3, history=5, L=3, batch_size=64, step_size=0.05)
+    r_exact = slbfgs(BP, W0, X, Y, SLBFGSOptions(hvp_mode="exact", **kw))
+    r_fd = slbfgs(BP, W0, X, Y, SLBFGSOptions(hvp_mode="fd", **kw))
+    np.testing.assert_allclose(
+        float(r_exact.final_loss), float(r_fd.final_loss), rtol=5e-2
+    )
+
+
+def test_slbfgs_converges_on_tiny_tol():
+    """tol large enough that the first full gradient already satisfies it:
+    solver must stop immediately without an epoch."""
+    opts = SLBFGSOptions(epochs=10, tol=1e6, batch_size=64)
+    res = slbfgs(BP, W0, X, Y, opts)
+    assert bool(res.converged)
+    assert int(res.n_iters) == 0
+
+
+def test_slbfgs_with_l2_matches_reference_training_setup():
+    """Reference UnifiedSLBFGS_CPU adds lambda=1e-4 L2 to loss and gradient
+    (unified_optimization.hpp:334-398); verify training works regularized."""
+    bp = mlp_batch_problem(SPEC, lam=1e-4)
+    opts = SLBFGSOptions(epochs=5, history=10, L=5, batch_size=64, step_size=0.05)
+    res = slbfgs(bp, W0, X, Y, opts)
+    assert float(res.final_loss) < float(bp.fun(W0, X, Y))
+
+
+def test_full_batch_lbfgs_trains_mlp_and_accuracy_improves():
+    prob = mlp_problem(SPEC)
+    res = lbfgs(
+        prob, W0, aux=(X, Y),
+        opts=LBFGSOptions(max_iters=60, tol=1e-6, m=10, line_search="armijo",
+                          ls_max_iters=20),
+    )
+    assert float(res.final_loss) < 0.3 * F0
+    acc0 = evaluate(SPEC, W0, X, Y)["accuracy"]
+    acc1 = evaluate(SPEC, res.x, X, Y)["accuracy"]
+    assert acc1 > acc0
+    assert acc1 > 60.0
