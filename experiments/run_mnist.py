@@ -1,0 +1,93 @@
+"""MNIST experiment runner — the reference's tests/mnist/main-{cpu,gpu}.cpp
+configurations on TPU.
+
+Style "cpu" (reference main-cpu.cpp: 5,000 train samples):
+  GD(mom .9) -> SGD(b=256, lr .03) -> S-LBFGS(b=256, M=10, L=10, b_H=128,
+  lr .02) -> L-BFGS(m=20), 1000 iters/epochs each.
+Style "cuda" (reference main-gpu.cpp: 60,000 samples):
+  GD(mom .9) -> SGD(b=256, decay .8/40) -> L-BFGS m=10 -> L-BFGS m=100.
+
+Usage:
+  python experiments/run_mnist.py --style cuda --iters 1000
+  python experiments/run_mnist.py --style cpu --train-size 5000
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import jax
+
+if os.environ.get("LBFGS_FORCE_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+
+
+import argparse
+
+parser = argparse.ArgumentParser()
+parser.add_argument("--style", choices=["cpu", "cuda"], default="cuda")
+parser.add_argument("--train-size", type=int, default=None)
+parser.add_argument("--iters", type=int, default=1000)
+parser.add_argument("--dataset", choices=["mnist", "fashion"], default="mnist")
+parser.add_argument("--deep", action="store_true",
+                    help="784-256-128-64-10 (reference main_gpu_deep.cpp)")
+parser.add_argument("--pallas", action="store_true", help="fused Pallas two-loop")
+args = parser.parse_args()
+
+from lbfgs_ffnn_tpu.data.datasets import load_fashion_mnist, load_mnist  # noqa: E402
+from lbfgs_ffnn_tpu.launcher import Launcher, UnifiedConfig  # noqa: E402
+
+train_size = args.train_size or (5000 if args.style == "cpu" else 60000)
+loader = load_mnist if args.dataset == "mnist" else load_fashion_mnist
+ds = loader(train_size=train_size, test_size=10000)
+if ds.synthetic_images:
+    print("NOTE: image blobs missing upstream; training on synthetic "
+          "class-structured images with the real label stream.")
+
+name = args.dataset.upper()
+launcher = Launcher(backend_style=args.style)
+if args.deep:
+    launcher.add_layer(784, 256, "relu").add_layer(256, 128, "relu")
+    launcher.add_layer(128, 64, "relu").add_layer(64, 10, "linear")
+else:
+    launcher.add_layer(784, 128, "relu").add_layer(128, 10, "linear")
+launcher.build_network().set_data(ds)
+
+two_loop = "pallas" if args.pallas else "xla"
+
+if args.style == "cpu":
+    runs = [
+        ("gd", UnifiedConfig(name=f"{name}_Unified_GD", max_iters=args.iters,
+                             tolerance=1e-4, learning_rate=0.01, momentum=0.9,
+                             log_interval=1)),
+        ("sgd", UnifiedConfig(name=f"{name}_SGD", max_iters=args.iters,
+                              tolerance=1e-4, learning_rate=0.03, batch_size=256,
+                              log_interval=5)),
+        ("slbfgs", UnifiedConfig(name=f"{name}_SLBFGS", max_iters=args.iters,
+                                 tolerance=1e-4, learning_rate=0.02, batch_size=256,
+                                 m_param=10, L_param=10, b_H_param=128,
+                                 log_interval=1, two_loop_impl=two_loop)),
+        ("lbfgs", UnifiedConfig(name=f"{name}_LBFGS", max_iters=args.iters,
+                                tolerance=1e-4, m_param=20, log_interval=1,
+                                two_loop_impl=two_loop)),
+    ]
+else:
+    runs = [
+        ("gd", UnifiedConfig(name=f"{name}_GD", max_iters=args.iters,
+                             tolerance=1e-3, learning_rate=0.02, momentum=0.9,
+                             log_interval=1)),
+        ("sgd", UnifiedConfig(name=f"{name}_SGD", max_iters=args.iters,
+                              tolerance=1e-3, learning_rate=0.01, batch_size=256,
+                              log_interval=5, lr_decay=0.80, lr_decay_rate=40)),
+        ("lbfgs", UnifiedConfig(name=f"{name}_LBFGS_m10", max_iters=args.iters,
+                                tolerance=1e-3, m_param=10, log_interval=1,
+                                two_loop_impl=two_loop)),
+        ("lbfgs", UnifiedConfig(name=f"{name}_LBFGS_m100", max_iters=args.iters,
+                                tolerance=1e-3, m_param=100, log_interval=1,
+                                two_loop_impl=two_loop)),
+    ]
+
+for solver, cfg in runs:
+    print(f"Running {cfg.name} ({solver})...")
+    launcher.train(solver, cfg)
+    launcher.test()

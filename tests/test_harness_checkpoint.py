@@ -1,0 +1,66 @@
+"""TestSuite harness + checkpoint/resume tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lbfgs_ffnn_tpu.harness import TestCase, TestSuite, classify
+from lbfgs_ffnn_tpu.objectives.analytic import rosenbrock_problem, rosenbrock_start
+from lbfgs_ffnn_tpu.ops.two_loop import empty_history_state, ring_push
+from lbfgs_ffnn_tpu.solvers import BFGSOptions, LBFGSOptions, bfgs, lbfgs
+from lbfgs_ffnn_tpu.checkpoint import (
+    load_weights_npz,
+    restore_checkpoint,
+    save_checkpoint,
+    save_weights_npz,
+)
+
+
+def test_suite_cross_product_runs():
+    prob = rosenbrock_problem()
+    suite = TestSuite()
+    suite.add_implementation(
+        "LBFGS", lambda p, x0: lbfgs(p, x0, opts=LBFGSOptions(max_iters=2000, tol=1e-12))
+    )
+    suite.add_implementation(
+        "BFGS", lambda p, x0: bfgs(p, x0, opts=BFGSOptions(max_iters=2000, tol=1e-12))
+    )
+    suite.add_test(TestCase(
+        name="rosenbrock", problem=prob, x0=rosenbrock_start(4),
+        expected_min=np.ones(4), gtol=1e-8,
+    ))
+    records = suite.run(verbose=False)
+    assert len(records) == 2
+    for r in records:
+        assert r.status == "global-min", r
+        assert r.elapsed_s > 0
+        assert r.n_iters > 0
+
+
+def test_classifier():
+    assert classify(1.0, np.zeros(2), np.zeros(2)) == "not-converged"
+    assert classify(1e-9, np.zeros(2), np.zeros(2)) == "global-min"
+    assert classify(1e-9, np.ones(2) * 5, np.zeros(2)) == "stationary"
+
+
+def test_checkpoint_roundtrip_solver_state(tmp_path):
+    """The quasi-Newton memory (ring buffer + weights) must survive
+    save/restore — capability absent from the reference entirely."""
+    hist = empty_history_state(4, 16, jnp.float32)
+    v = jnp.arange(16.0, dtype=jnp.float32)
+    hist = ring_push(hist, v, 2 * v, jnp.asarray(0.5, jnp.float32), jnp.array(True))
+    state = {"w": jnp.ones(16, jnp.float32) * 3, "hist": hist, "k": jnp.int32(7)}
+    path = tmp_path / "ckpt"
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, jax.tree_util.tree_map(jnp.zeros_like, state))
+    np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(state["w"]))
+    np.testing.assert_array_equal(np.asarray(restored["hist"].S), np.asarray(hist.S))
+    assert int(restored["hist"].count) == 1
+    assert int(restored["k"]) == 7
+
+
+def test_weights_npz_roundtrip(tmp_path):
+    w = jnp.arange(10.0)
+    p = tmp_path / "w.npz"
+    save_weights_npz(p, w)
+    np.testing.assert_array_equal(load_weights_npz(p), np.asarray(w))
