@@ -127,3 +127,21 @@ def test_evaluate_reports_accuracy_and_mse():
     out = evaluate(spec, w, x, y)
     assert out["accuracy"] == 100.0
     assert out["n"] == 2
+
+
+def test_bf16_compute_mode_close_to_f32():
+    """bf16 MXU operands with f32 accumulation: loss/grad within bf16
+    tolerance of the f32 path, and training still converges."""
+    spec = mlp_spec([16, 8, 4], ["relu", "linear"])
+    w = mlp_init(spec, jax.random.PRNGKey(20), dtype=jnp.float32)
+    x, y = _data(jax.random.PRNGKey(21), n=32, spec=spec, dtype=jnp.float32)
+    p32 = mlp_problem(spec)
+    pbf = mlp_problem(spec, compute_dtype=jnp.bfloat16)
+    l32 = float(p32.fun(w, (x, y)))
+    lbf = float(pbf.fun(w, (x, y)))
+    assert abs(l32 - lbf) / max(abs(l32), 1e-6) < 0.05
+    g32 = p32.grad(w, (x, y))
+    gbf = pbf.grad(w, (x, y))
+    assert gbf.dtype == g32.dtype == jnp.float32
+    cos = float(jnp.vdot(g32, gbf) / (jnp.linalg.norm(g32) * jnp.linalg.norm(gbf)))
+    assert cos > 0.99
