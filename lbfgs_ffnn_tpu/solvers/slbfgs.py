@@ -7,9 +7,10 @@ Behavioral mirror of the reference CPU flagship
   * Outer epoch: full gradient ``mu = grad F(w~)`` as the SVRG anchor; stop
     when ``||mu|| < tol``.
   * Inner loop (``m_inner`` steps): sample batch; variance-reduced gradient
-    ``v_t = grad_S(w_t) - grad_S(w~) + mu``; direction from the two-loop
-    recursion with clamped gamma; fixed-step update; iterate pushed into a
-    ring of the last ``L+1`` iterates.
+    ``v_t = grad_S(w_t) - grad_S(w~) + mu`` (same batch for both, which is
+    what makes SVRG variance-reduced); direction from the two-loop recursion
+    with clamped gamma; fixed-step update; iterate pushed into a ring of the
+    last ``L+1`` iterates.
   * Every ``L`` steps: averaged iterate ``u``; ``s = u - u_prev``;
     ``y = H(u) s`` on a ``b_H`` batch; pair accepted iff ``|y^T s| > 1e-10``.
   * Epoch end: anchor reset to a uniformly random recent inner iterate.
@@ -18,23 +19,28 @@ TPU-native differences: the HVP is an exact ``jax.jvp`` of the batch gradient
 (the reference uses central finite differences, s_lbfgs.hpp:88-101 — an
 ``"fd"`` mode is kept for parity testing); the entire run — outer while_loop,
 inner scan, curvature conds — is one XLA program with no host round-trips;
-batch sampling derives per-(epoch, step) keys with ``jax.random.fold_in`` so
-results are seed-stable across device layouts.
+batch sampling derives per-(epoch, step) keys with ``jax.random.fold_in``.
 
-The reference restricts S-LBFGS to its CPU backend (a CUDA build is a
-static_assert error, src/unified_optimization.hpp:639-641); here the same
-program runs on TPU, and data-parallel sharding of the batch and full-gradient
-passes comes from wrapping the BatchProblem (see lbfgs_ffnn_tpu.parallel).
+**Distributed mode** (``mesh=...``): the reference restricts S-LBFGS to one
+CPU (a CUDA build is a static_assert error,
+src/unified_optimization.hpp:639-641). Here, passing a data mesh runs every
+gradient/HVP evaluation batch-sharded: each device samples ``b/ndev``
+indices *from its local shard* (``fold_in(key, axis_index)``), evaluates
+locally, and one psum per evaluation reduces the result over ICI — no
+cross-device gathers in the inner loop. Solver state (weights, curvature
+ring, anchors) stays replicated; batch composition differs from the
+single-device run (per-shard sampling), the algorithm is unchanged.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.sharding import PartitionSpec as P
 
 from lbfgs_ffnn_tpu.ops.two_loop import RingState, empty_history_state, ring_push, two_loop
 from lbfgs_ffnn_tpu.solvers.common import finalize, init_history, record
@@ -103,7 +109,109 @@ class _State(NamedTuple):
     gnorm_h: jax.Array
 
 
-def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int):
+class _Ops(NamedTuple):
+    """Gradient/loss evaluation strategy: direct (one device / GSPMD) or
+    explicitly sharded (per-device local sampling + psum)."""
+
+    full_grad: callable            # (w) -> (n,)
+    full_loss: callable            # (w) -> scalar
+    batch_grads: callable          # (w_t, w_anchor, key) -> (g_t, g_anchor)
+    hvp: callable                  # (u, s_vec, key) -> (n,)
+
+
+def _direct_ops(problem: BatchProblem, x, y, N: int, b: int, b_h: int, opts) -> _Ops:
+    def sample(k, size):
+        return jax.random.permutation(k, N)[:size]
+
+    def full_grad(w):
+        return problem.grad(w, x, y)
+
+    def full_loss(w):
+        return problem.fun(w, x, y)
+
+    def batch_grads(w_t, w_anchor, key):
+        idx = sample(key, b)
+        xb, yb = jnp.take(x, idx, axis=0), jnp.take(y, idx, axis=0)
+        return problem.grad(w_t, xb, yb), problem.grad(w_anchor, xb, yb)
+
+    def hvp(u, s_vec, key):
+        idx = sample(key, b_h)
+        xh, yh = jnp.take(x, idx, axis=0), jnp.take(y, idx, axis=0)
+        if opts.hvp_mode == "fd":
+            return problem.fd_hvp(u, s_vec, xh, yh, eps=opts.fd_eps)
+        return problem.hvp(u, s_vec, xh, yh)
+
+    return _Ops(full_grad, full_loss, batch_grads, hvp)
+
+
+def _sharded_ops(
+    problem: BatchProblem, x, y, N: int, b: int, b_h: int, opts, mesh, axis: str
+) -> _Ops:
+    nd = mesh.shape[axis]
+    if N % nd:
+        raise ValueError(f"N={N} must divide the mesh size {nd}")
+    n_local = N // nd
+    b_local = max(b // nd, 1)
+    bh_local = max(b_h // nd, 1)
+
+    # Inside shard_map, jax.grad w.r.t. a replicated operand auto-psums the
+    # cotangent across the axis; differentiating pmean(local_loss) therefore
+    # yields the exact global-mean gradient with one ICI all-reduce.
+    def global_loss(w, xs, ys):
+        return lax.pmean(problem.fun(w, xs, ys), axis)
+
+    def _local_take(xs, ys, key, size):
+        k = jax.random.fold_in(key, lax.axis_index(axis))
+        idx = jax.random.permutation(k, n_local)[:size]
+        return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
+
+    def full_grad(w):
+        def local(w, xs, ys):
+            return jax.grad(global_loss)(w, xs, ys)
+
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P(axis), P(axis)), out_specs=P()
+        )(w, x, y)
+
+    def full_loss(w):
+        def local(w, xs, ys):
+            return global_loss(w, xs, ys)
+
+        return jax.shard_map(
+            local, mesh=mesh, in_specs=(P(), P(axis), P(axis)), out_specs=P()
+        )(w, x, y)
+
+    def batch_grads(w_t, w_anchor, key):
+        def local(w_t, w_anchor, xs, ys, key):
+            xb, yb = _local_take(xs, ys, key, b_local)
+            g_t = jax.grad(global_loss)(w_t, xb, yb)
+            g_a = jax.grad(global_loss)(w_anchor, xb, yb)
+            return g_t, g_a
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P()), out_specs=(P(), P()),
+        )(w_t, w_anchor, x, y, key)
+
+    def hvp(u, s_vec, key):
+        def local(u, s_vec, xs, ys, key):
+            xh, yh = _local_take(xs, ys, key, bh_local)
+            grad_fn = lambda w: jax.grad(global_loss)(w, xh, yh)
+            if opts.hvp_mode == "fd":
+                gp = grad_fn(u + opts.fd_eps * s_vec)
+                gm = grad_fn(u - opts.fd_eps * s_vec)
+                return (gp - gm) / (2.0 * opts.fd_eps)
+            return jax.jvp(grad_fn, (u,), (s_vec,))[1]
+
+        return jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P()), out_specs=P(),
+        )(u, s_vec, x, y, key)
+
+    return _Ops(full_grad, full_loss, batch_grads, hvp)
+
+
+def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
     b = min(opts.batch_size, N)
     m_inner = opts.m_inner if opts.m_inner > 0 else max(N // b, 1)
     b_h = opts.hvp_batch_size if opts.hvp_batch_size > 0 else max(b // 2, 1)
@@ -119,12 +227,12 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int):
         def direction(v, hist):
             return two_loop(v, hist, clamp_gamma=True)
 
-    def hvp(w, s_vec, xb, yb):
-        if opts.hvp_mode == "fd":
-            return problem.fd_hvp(w, s_vec, xb, yb, eps=opts.fd_eps)
-        return problem.hvp(w, s_vec, xb, yb)
-
     def solve(w0, x, y):
+        if mesh is None:
+            ops = _direct_ops(problem, x, y, N, b, b_h, opts)
+        else:
+            ops = _sharded_ops(problem, x, y, N, b, b_h, opts, mesh, axis)
+
         key = jax.random.PRNGKey(opts.seed)
         n = w0.shape[0]
         loss_h, gnorm_h = init_history(opts.epochs, w0.dtype)
@@ -140,16 +248,13 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int):
             gnorm_h=gnorm_h,
         )
 
-        def sample(k, size):
-            return jax.random.permutation(k, N)[:size]
-
         def cond(s: _State):
             return (s.epoch < opts.epochs) & ~s.stop
 
         def body(s: _State) -> _State:
             k_epoch = jax.random.fold_in(key, s.epoch)
             # SVRG anchor: full gradient at w~ (s_lbfgs.hpp:203-206).
-            mu = problem.grad(s.w, x, y)
+            mu = ops.full_grad(s.w)
             mu_norm = jnp.linalg.norm(mu)
             converged = mu_norm < opts.tol
 
@@ -159,11 +264,8 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int):
                 def inner(carry, t):
                     wt, hist, wr, u_prev, has_u = carry
                     k_t = jax.random.fold_in(k_epoch, t)
-                    idx = sample(jax.random.fold_in(k_t, 0), b)
-                    xb, yb = jnp.take(x, idx, axis=0), jnp.take(y, idx, axis=0)
                     # Variance-reduced gradient (s_lbfgs.hpp:225-228).
-                    g_t = problem.grad(wt, xb, yb)
-                    g_anchor = problem.grad(s.w, xb, yb)
+                    g_t, g_anchor = ops.batch_grads(wt, s.w, jax.random.fold_in(k_t, 0))
                     v = g_t - g_anchor + mu
                     d = direction(v, hist)
                     wt = wt - opts.step_size * d
@@ -176,9 +278,7 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int):
                         def with_pair(args):
                             hist, = args
                             s_vec = u - u_prev
-                            idx_h = sample(jax.random.fold_in(k_t, 1), b_h)
-                            xh, yh = jnp.take(x, idx_h, axis=0), jnp.take(y, idx_h, axis=0)
-                            yv = hvp(u, s_vec, xh, yh)
+                            yv = ops.hvp(u, s_vec, jax.random.fold_in(k_t, 1))
                             ys = jnp.vdot(yv, s_vec)
                             accept = jnp.abs(ys) > opts.curvature_eps
                             rho = jnp.where(accept, 1.0 / jnp.where(ys == 0, 1.0, ys), 0.0)
@@ -205,8 +305,8 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int):
                 w_new = jnp.where(wr.count >= 2, _vr_pick(wr, j), wt)
 
                 if opts.record_full:
-                    full_loss = problem.fun(w_new, x, y)
-                    full_g = problem.grad(w_new, x, y)
+                    full_loss = ops.full_loss(w_new)
+                    full_g = ops.full_grad(w_new)
                     loss_h, gnorm_h = record(
                         s.loss_h, s.gnorm_h, s.epoch, full_loss, jnp.linalg.norm(full_g)
                     )
@@ -234,8 +334,8 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int):
 
 
 @functools.lru_cache(maxsize=256)
-def _cached(problem, opts, N):
-    return jax.jit(_build(problem, opts, N))
+def _cached(problem, opts, N, mesh, axis):
+    return jax.jit(_build(problem, opts, N, mesh, axis))
 
 
 def slbfgs(
@@ -244,6 +344,11 @@ def slbfgs(
     x: jax.Array,
     y: jax.Array,
     opts: SLBFGSOptions | None = None,
+    mesh=None,
+    axis_name: str = "data",
 ) -> SolveResult:
+    """Run S-LBFGS. With ``mesh`` set, evaluations are explicitly
+    batch-sharded with per-device local sampling (pass ``x``/``y`` sharded
+    via ``parallel.shard_batch`` and ``w0`` replicated)."""
     opts = opts or SLBFGSOptions()
-    return _cached(problem, opts, int(x.shape[0]))(w0, x, y)
+    return _cached(problem, opts, int(x.shape[0]), mesh, axis_name)(w0, x, y)

@@ -151,3 +151,39 @@ def test_sgd_on_gspmd_sharded_data():
     np.testing.assert_allclose(
         float(res.final_loss), float(res_1d.final_loss), rtol=1e-3
     )
+
+
+def test_slbfgs_explicit_sharded_mode():
+    """Distributed S-LBFGS: per-device local sampling + one psum per
+    evaluation. The SVRG full gradient is sampling-independent, so the
+    converged-immediately gnorm must match the direct path exactly; a real
+    run must train."""
+    mesh = make_mesh()
+    bp = mlp_batch_problem(SPEC, lam=1e-4)
+    xs, ys = shard_batch(mesh, X, Y)
+    w = replicate(mesh, W0)
+
+    # full-gradient parity via immediate convergence (tol=inf)
+    opts_conv = SLBFGSOptions(epochs=3, tol=1e9, batch_size=64)
+    r_dp = slbfgs(bp, w, xs, ys, opts_conv, mesh=mesh)
+    r_1d = slbfgs(bp, W0, X, Y, opts_conv)
+    np.testing.assert_allclose(float(r_dp.final_gnorm), float(r_1d.final_gnorm), rtol=1e-5)
+
+    # real training run
+    opts = SLBFGSOptions(epochs=5, tol=1e-8, history=5, L=3,
+                         batch_size=64, step_size=0.05)
+    res = slbfgs(bp, w, xs, ys, opts, mesh=mesh)
+    f0 = float(bp.fun(W0, X, Y))
+    assert float(res.final_loss) < 0.6 * f0
+    assert bool(jnp.isfinite(res.x).all())
+
+
+def test_slbfgs_sharded_deterministic():
+    mesh = make_mesh()
+    bp = mlp_batch_problem(SPEC)
+    xs, ys = shard_batch(mesh, X, Y)
+    w = replicate(mesh, W0)
+    opts = SLBFGSOptions(epochs=2, history=4, L=2, batch_size=64, step_size=0.05)
+    r1 = slbfgs(bp, w, xs, ys, opts, mesh=mesh)
+    r2 = slbfgs(bp, w, xs, ys, opts, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
