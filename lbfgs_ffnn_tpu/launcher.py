@@ -74,6 +74,8 @@ class UnifiedConfig:
     lam: float = 0.0             # L2 used by the S-LBFGS strategy (ref: 1e-4)
     two_loop_impl: str = "xla"   # "xla" | "pallas"
     write_csv: bool = True
+    timed_chunks: int = 0        # >0: L-BFGS runs in K-iter chunks with
+                                 # measured cumulative TimeMs per chunk
 
 
 @dataclasses.dataclass
@@ -142,17 +144,34 @@ class Launcher:
             # (reference: src/unified_launcher.hpp:49-53)
             self._bind_params(config.seed)
 
-        run = self._make_run(solver, config)
-        # Warm-up on the real operands compiles the program; the second call
-        # measures pure execution (XLA caches the executable).
-        run()
-        t0 = time.perf_counter()
-        result = run()
-        jax.block_until_ready(result.x)
-        wall = time.perf_counter() - t0
+        measured_ms = None
+        if config.timed_chunks > 0 and solver == "lbfgs":
+            from lbfgs_ffnn_tpu.solvers.lbfgs import lbfgs_chunked
+
+            prob = mlp_problem(self.spec)
+            opts = self._lbfgs_opts(config)
+            t0 = time.perf_counter()
+            result, time_ms = lbfgs_chunked(
+                prob, self.weights, aux=(self._x, self._y), opts=opts,
+                chunk=config.timed_chunks,
+            )
+            wall = time.perf_counter() - t0
+            measured_ms = time_ms
+        else:
+            run = self._make_run(solver, config)
+            # Warm-up on the real operands compiles the program; the second
+            # call measures pure execution (XLA caches the executable).
+            run()
+            t0 = time.perf_counter()
+            result = run()
+            jax.block_until_ready(result.x)
+            wall = time.perf_counter() - t0
 
         self.weights = result.x
         history = history_from_result(result, wall)
+        if measured_ms is not None:
+            n = int(result.n_iters)
+            history.time_ms[:] = np.asarray(measured_ms[:n], dtype=np.float64)
         csv_path = None
         if config.write_csv:
             csv_path = f"{config.name}_history.csv"
@@ -168,6 +187,16 @@ class Launcher:
                 f"train_acc={train_eval['accuracy']:.2f}%"
             )
         return TrainReport(result, history, wall, csv_path, train_eval)
+
+    def _lbfgs_opts(self, c: UnifiedConfig) -> LBFGSOptions:
+        cuda = self.backend_style == "cuda"
+        return LBFGSOptions(
+            max_iters=c.max_iters, tol=c.tolerance,
+            m=c.m_param if c.m_param > 0 else 10,
+            line_search="armijo" if cuda else "wolfe",
+            ls_max_iters=20 if cuda else 50,
+            two_loop_impl=c.two_loop_impl,
+        )
 
     def _make_run(self, solver: str, c: UnifiedConfig):
         cuda = self.backend_style == "cuda"
@@ -186,13 +215,7 @@ class Launcher:
 
         if solver == "lbfgs":
             prob = mlp_problem(self.spec)
-            opts = LBFGSOptions(
-                max_iters=c.max_iters, tol=c.tolerance,
-                m=c.m_param if c.m_param > 0 else 10,
-                line_search="armijo" if cuda else "wolfe",
-                ls_max_iters=20 if cuda else 50,
-                two_loop_impl=c.two_loop_impl,
-            )
+            opts = self._lbfgs_opts(c)
             return lambda: lbfgs(prob, w0, aux=(x, y), opts=opts)
 
         if solver == "sgd":

@@ -16,11 +16,19 @@ The structural win over the CUDA reference: its two-loop recursion issues
 (reference: src/cuda/lbfgs.cuh:236-257) — here the whole solve is a single
 XLA program; nothing touches the host until the result is fetched. The
 two-loop itself can optionally run as a fused Pallas kernel.
+
+Two drivers over the same jitted iteration body:
+  * :func:`lbfgs` — full run in one ``lax.while_loop`` (fastest).
+  * :func:`lbfgs_chunked` — jitted K-iteration chunks with a host callback
+    between chunks: measured (not synthesized) cumulative wall time per
+    chunk, periodic checkpointing, live logging.
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple
+import functools
+import time
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,96 +72,112 @@ def _direction(g, hist, opts: LBFGSOptions):
     return -two_loop(g, hist)
 
 
-def _build(problem: Problem, opts: LBFGSOptions):
+def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux) -> _State:
+    f0, g0 = problem.value_and_grad(x0, aux)
+    loss_h, gnorm_h = init_history(opts.max_iters, x0.dtype)
+    return _State(
+        k=jnp.int32(0),
+        x=x0,
+        f=f0,
+        g=g0,
+        gnorm=jnp.linalg.norm(g0),
+        hist=empty_history_state(opts.m, x0.shape[0], x0.dtype),
+        loss_h=loss_h,
+        gnorm_h=gnorm_h,
+    )
+
+
+def _not_done(s: _State, opts: LBFGSOptions):
+    return (s.k < opts.max_iters) & (s.gnorm >= opts.tol)
+
+
+def _make_body(problem: Problem, opts: LBFGSOptions):
     if opts.line_search not in ("wolfe", "armijo"):
         raise ValueError(f"unknown line_search {opts.line_search!r}")
 
-    def solve(x0, aux):
-        f0, g0 = problem.value_and_grad(x0, aux)
-        loss_h, gnorm_h = init_history(opts.max_iters, x0.dtype)
-        s0 = _State(
-            k=jnp.int32(0),
-            x=x0,
-            f=f0,
-            g=g0,
-            gnorm=jnp.linalg.norm(g0),
-            hist=empty_history_state(opts.m, x0.shape[0], x0.dtype),
-            loss_h=loss_h,
-            gnorm_h=gnorm_h,
+    def body(s: _State, aux) -> _State:
+        p = _direction(s.g, s.hist, opts)
+        hist = s.hist
+        dg0 = jnp.vdot(s.g, p)
+
+        if opts.line_search == "armijo":
+            # Steepest-descent fallback + history reset on non-descent p
+            # (reference: src/cuda/lbfgs.cuh:97-104).
+            nondescent = dg0 >= 0
+            p = jnp.where(nondescent, -s.g, p)
+            dg0 = jnp.where(nondescent, -jnp.vdot(s.g, s.g), dg0)
+            hist = ring_reset(hist, nondescent)
+
+            alpha0 = jnp.where(
+                s.k == 0,
+                jnp.minimum(jnp.ones_like(s.gnorm), 1.0 / s.gnorm),
+                jnp.ones_like(s.gnorm),
+            )
+            ls = armijo_quad_line_search(
+                problem.value_and_grad, s.x, p, s.f, dg0, aux,
+                c1=opts.c1, shrink=opts.ls_shrink,
+                max_iters=opts.ls_max_iters, alpha0=alpha0,
+            )
+            alpha, f_new, g_new = ls.alpha, ls.f_new, ls.g_new
+            # History reset on line-search failure (cuda/lbfgs.cuh:147).
+            hist = ring_reset(hist, ~ls.ok)
+        else:
+            # First-iteration heuristic step, no search
+            # (reference: src/minimizer/lbfgs.hpp:61-65).
+            def first(_):
+                alpha = jnp.minimum(jnp.ones_like(s.gnorm), 1.0 / s.gnorm)
+                f_new, g_new = problem.value_and_grad(s.x + alpha * p, aux)
+                return alpha, f_new, g_new
+
+            def later(_):
+                ls = wolfe_line_search(
+                    problem.value_and_grad, s.x, p, s.f, dg0, aux,
+                    c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
+                    max_iters=opts.ls_max_iters,
+                )
+
+                def use_ls(_):
+                    return ls.alpha, ls.f_new, ls.g_new
+
+                def reeval(_):
+                    f_new, g_new = problem.value_and_grad(s.x + ls.alpha * p, aux)
+                    return ls.alpha, f_new, g_new
+
+                return lax.cond(ls.evaluated, use_ls, reeval, None)
+
+            alpha, f_new, g_new = lax.cond(s.k == 0, first, later, None)
+
+        x_new = s.x + alpha * p
+        step = alpha * p
+        y = g_new - s.g
+        ys = jnp.vdot(y, step)
+        accept = ys > opts.curvature_eps
+        rho = jnp.where(accept, 1.0 / jnp.where(ys == 0, 1.0, ys), 0.0)
+        hist = ring_push(hist, step, y, rho, accept)
+
+        gnorm_new = jnp.linalg.norm(g_new)
+        loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
+        return _State(
+            k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
+            hist=hist, loss_h=loss_h, gnorm_h=gnorm_h,
         )
 
-        def cond(s: _State):
-            return (s.k < opts.max_iters) & (s.gnorm >= opts.tol)
+    return body
 
-        def body(s: _State) -> _State:
-            p = _direction(s.g, s.hist, opts)
-            hist = s.hist
-            dg0 = jnp.vdot(s.g, p)
 
-            if opts.line_search == "armijo":
-                # Steepest-descent fallback + history reset on non-descent p
-                # (reference: src/cuda/lbfgs.cuh:97-104).
-                nondescent = dg0 >= 0
-                p = jnp.where(nondescent, -s.g, p)
-                dg0 = jnp.where(nondescent, -jnp.vdot(s.g, s.g), dg0)
-                hist = ring_reset(hist, nondescent)
+def _finalize_state(s: _State, opts: LBFGSOptions) -> SolveResult:
+    return finalize(s.x, s.k, s.gnorm < opts.tol, s.f, s.gnorm, s.loss_h, s.gnorm_h)
 
-                alpha0 = jnp.where(
-                    s.k == 0,
-                    jnp.minimum(jnp.ones_like(s.gnorm), 1.0 / s.gnorm),
-                    jnp.ones_like(s.gnorm),
-                )
-                ls = armijo_quad_line_search(
-                    problem.value_and_grad, s.x, p, s.f, dg0, aux,
-                    c1=opts.c1, shrink=opts.ls_shrink,
-                    max_iters=opts.ls_max_iters, alpha0=alpha0,
-                )
-                alpha, f_new, g_new = ls.alpha, ls.f_new, ls.g_new
-                # History reset on line-search failure (cuda/lbfgs.cuh:147).
-                hist = ring_reset(hist, ~ls.ok)
-            else:
-                # First-iteration heuristic step, no search
-                # (reference: src/minimizer/lbfgs.hpp:61-65).
-                def first(_):
-                    alpha = jnp.minimum(jnp.ones_like(s.gnorm), 1.0 / s.gnorm)
-                    f_new, g_new = problem.value_and_grad(s.x + alpha * p, aux)
-                    return alpha, f_new, g_new
 
-                def later(_):
-                    ls = wolfe_line_search(
-                        problem.value_and_grad, s.x, p, s.f, dg0, aux,
-                        c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
-                        max_iters=opts.ls_max_iters,
-                    )
+def _build(problem: Problem, opts: LBFGSOptions):
+    body = _make_body(problem, opts)
 
-                    def use_ls(_):
-                        return ls.alpha, ls.f_new, ls.g_new
-
-                    def reeval(_):
-                        f_new, g_new = problem.value_and_grad(s.x + ls.alpha * p, aux)
-                        return ls.alpha, f_new, g_new
-
-                    return lax.cond(ls.evaluated, use_ls, reeval, None)
-
-                alpha, f_new, g_new = lax.cond(s.k == 0, first, later, None)
-
-            x_new = s.x + alpha * p
-            step = alpha * p
-            y = g_new - s.g
-            ys = jnp.vdot(y, step)
-            accept = ys > opts.curvature_eps
-            rho = jnp.where(accept, 1.0 / jnp.where(ys == 0, 1.0, ys), 0.0)
-            hist = ring_push(hist, step, y, rho, accept)
-
-            gnorm_new = jnp.linalg.norm(g_new)
-            loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
-            return _State(
-                k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
-                hist=hist, loss_h=loss_h, gnorm_h=gnorm_h,
-            )
-
-        s = lax.while_loop(cond, body, s0)
-        return finalize(s.x, s.k, s.gnorm < opts.tol, s.f, s.gnorm, s.loss_h, s.gnorm_h)
+    def solve(x0, aux):
+        s0 = _init_state(problem, opts, x0, aux)
+        s = lax.while_loop(
+            lambda s: _not_done(s, opts), lambda s: body(s, aux), s0
+        )
+        return _finalize_state(s, opts)
 
     return solve
 
@@ -163,3 +187,73 @@ def lbfgs(
 ) -> SolveResult:
     opts = opts or LBFGSOptions()
     return cached_jit_solve(_build, problem, opts)(x0, aux)
+
+
+# ---------------------------------------------------------------------------
+# Chunked driver: measured per-chunk wall time + host callback
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_chunk_fns(problem, opts, chunk: int):
+    def init(x0, aux):
+        return _init_state(problem, opts, x0, aux)
+
+    body = _make_body(problem, opts)
+
+    def run_chunk(state, aux):
+        def step(s, _):
+            s = lax.cond(
+                _not_done(s, opts), lambda s: body(s, aux), lambda s: s, s
+            )
+            return s, None
+
+        s, _ = lax.scan(step, state, None, length=chunk)
+        return s
+
+    return jax.jit(init), jax.jit(run_chunk)
+
+
+def lbfgs_chunked(
+    problem: Problem,
+    x0: jax.Array,
+    aux: Any = (),
+    opts: LBFGSOptions | None = None,
+    chunk: int = 10,
+    callback: Optional[Callable[[_State, float], None]] = None,
+) -> tuple[SolveResult, "jnp.ndarray"]:
+    """Run L-BFGS in jitted ``chunk``-iteration pieces.
+
+    Returns ``(result, time_ms)`` where ``time_ms[i]`` is the *measured*
+    cumulative wall time after iteration ``i`` (at chunk granularity,
+    excluding compile) — the honest version of the reference's per-iteration
+    timestamps. ``callback(state, elapsed_s)`` fires after each chunk (use
+    for live logging or checkpointing via lbfgs_ffnn_tpu.checkpoint).
+    """
+    opts = opts or LBFGSOptions()
+    init, run_chunk = _cached_chunk_fns(problem, opts, chunk)
+
+    state = init(x0, aux)
+    jax.block_until_ready(state.x)
+    # Warm-up compile on a perturbed copy: remote-TPU runtimes can serve a
+    # repeat of an *identical* dispatch from cache, which would zero out the
+    # first measured chunk.
+    warm = init(x0 * (1.0 + 1e-6) + 1e-7, aux)
+    jax.block_until_ready(run_chunk(warm, aux).x)
+
+    time_ms = jnp.full((opts.max_iters,), jnp.nan)
+    elapsed = 0.0
+    k_prev = 0
+    t_total0 = time.perf_counter()
+    while True:
+        t0 = time.perf_counter()
+        state = run_chunk(state, aux)
+        k_now = int(state.k)  # host sync per chunk (that's the point)
+        elapsed += time.perf_counter() - t0
+        time_ms = time_ms.at[k_prev:k_now].set(elapsed * 1e3)
+        if callback is not None:
+            callback(state, elapsed)
+        if k_now == k_prev or k_now >= opts.max_iters or float(state.gnorm) < opts.tol:
+            break
+        k_prev = k_now
+    return _finalize_state(state, opts), time_ms

@@ -77,3 +77,17 @@ def test_cuda_style_inits_zero_biases():
     l_cpu = make_launcher("cpu")
     w2 = np.asarray(l_cpu.weights)
     assert np.abs(w2[784 * 32 : 784 * 32 + 32]).sum() > 0
+
+
+def test_lbfgs_timed_chunks_real_times(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    launcher = make_launcher()
+    cfg = UnifiedConfig(name="Chunked", max_iters=12, tolerance=1e-9,
+                        m_param=5, log_interval=1, timed_chunks=4)
+    report = launcher.train("lbfgs", cfg, verbose=False)
+    t = report.history.time_ms
+    assert np.all(np.isfinite(t))
+    assert np.all(np.diff(t) >= 0)
+    # chunk granularity: every 4 consecutive iterations share a timestamp
+    assert t[0] == t[1] == t[2] == t[3]
+    assert t[3] < t[4] or report.history.n <= 4

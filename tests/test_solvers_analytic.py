@@ -154,3 +154,25 @@ def test_lbfgs_solves_with_autodiff_gradients():
     prob = rosenbrock_problem(analytic=False)
     res = lbfgs(prob, rosenbrock_start(4), opts=LBFGSOptions(max_iters=4000, tol=1e-12))
     assert float(res.final_gnorm) <= 1e-10
+
+
+def test_lbfgs_chunked_matches_while_loop():
+    """The chunked driver must reproduce the while_loop run exactly and
+    return measured cumulative times."""
+    from lbfgs_ffnn_tpu.solvers.lbfgs import lbfgs_chunked
+
+    x0 = rosenbrock_start(4)
+    opts = LBFGSOptions(max_iters=200, tol=1e-12, m=16)
+    res_wl = lbfgs(ROSEN, x0, opts=opts)
+    chunks_seen = []
+    res_ch, time_ms = lbfgs_chunked(
+        ROSEN, x0, opts=opts, chunk=16,
+        callback=lambda s, e: chunks_seen.append(int(s.k)),
+    )
+    np.testing.assert_allclose(np.asarray(res_ch.x), np.asarray(res_wl.x), rtol=1e-12)
+    assert int(res_ch.n_iters) == int(res_wl.n_iters)
+    n = int(res_ch.n_iters)
+    t = np.asarray(time_ms)
+    assert np.all(np.isfinite(t[:n]))
+    assert np.all(np.diff(t[:n]) >= 0)  # cumulative
+    assert len(chunks_seen) >= 1
