@@ -89,3 +89,18 @@ def test_oscillator_learns_sin():
     u = mlp_apply(spec, res.x, xs)[:, 0]
     err = float(jnp.max(jnp.abs(u - jnp.sin(xs[:, 0]))))
     assert err < 0.05, f"max |u - sin| = {err}"
+
+
+def test_fd_oracle_sanity():
+    """The FD Burgers reference solution: IC reproduced, BCs held, and the
+    solution decays (viscosity) while steepening near x=0."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from burgers_fd import solve_burgers_fd
+
+    x, snaps = solve_burgers_fd(nx=401, snapshot_times=(0.0, 0.5))
+    np.testing.assert_allclose(snaps[0.0], np.sin(np.pi * x), atol=1e-12)
+    u_half = snaps[0.5]
+    assert abs(u_half[0]) < 1e-12 and abs(u_half[-1]) < 1e-12
+    assert np.abs(u_half).max() < 1.0  # decayed from the IC amplitude
+    assert np.abs(u_half).max() > 0.3  # but not trivially zero
