@@ -119,8 +119,22 @@ class Launcher:
 
     def build_network(self, seed: int = 123) -> "Launcher":
         self.spec = mlp_spec(self._dims, self._acts)
+        self._prob_cache = {}
         self._bind_params(seed)
         return self
+
+    def _get_problem(self):
+        # One Problem object per launcher: solver jit caches key on it, so
+        # warm-up and timed runs share the compiled executable.
+        if "full" not in self._prob_cache:
+            self._prob_cache["full"] = mlp_problem(self.spec)
+        return self._prob_cache["full"]
+
+    def _get_batch_problem(self, lam: float):
+        key = ("batch", lam)
+        if key not in self._prob_cache:
+            self._prob_cache[key] = mlp_batch_problem(self.spec, lam=lam)
+        return self._prob_cache[key]
 
     def _bind_params(self, seed: int) -> None:
         bias = "random" if self.backend_style == "cpu" else "zeros"
@@ -148,7 +162,7 @@ class Launcher:
         if config.timed_chunks > 0 and solver == "lbfgs":
             from lbfgs_ffnn_tpu.solvers.lbfgs import lbfgs_chunked
 
-            prob = mlp_problem(self.spec)
+            prob = self._get_problem()
             opts = self._lbfgs_opts(config)
             t0 = time.perf_counter()
             result, time_ms = lbfgs_chunked(
@@ -158,13 +172,18 @@ class Launcher:
             wall = time.perf_counter() - t0
             measured_ms = time_ms
         else:
+            # Warm-up with *perturbed* weights compiles the executable without
+            # letting remote-runtime dispatch caching serve the timed call
+            # (identical dispatches can return cached results instantly).
+            true_w = self.weights
+            self.weights = true_w * (1.0 + 1e-6) + 1e-7
+            warm = self._make_run(solver, config)()
+            _ = float(warm.final_loss)
+            self.weights = true_w
             run = self._make_run(solver, config)
-            # Warm-up on the real operands compiles the program; the second
-            # call measures pure execution (XLA caches the executable).
-            run()
             t0 = time.perf_counter()
             result = run()
-            jax.block_until_ready(result.x)
+            _ = float(result.final_loss)  # forces completion through the tunnel
             wall = time.perf_counter() - t0
 
         self.weights = result.x
@@ -206,7 +225,7 @@ class Launcher:
         if solver == "gd":
             # UnifiedGD_CPU disables line search (unified_optimization.hpp:177);
             # CudaGD adds momentum (cuda/gd.cuh:78-88).
-            prob = mlp_problem(self.spec)
+            prob = self._get_problem()
             opts = GDOptions(
                 max_iters=c.max_iters, tol=c.tolerance, step_size=c.learning_rate,
                 momentum=c.momentum, use_line_search=False,
@@ -214,12 +233,12 @@ class Launcher:
             return lambda: gradient_descent(prob, w0, aux=(x, y), opts=opts)
 
         if solver == "lbfgs":
-            prob = mlp_problem(self.spec)
+            prob = self._get_problem()
             opts = self._lbfgs_opts(c)
             return lambda: lbfgs(prob, w0, aux=(x, y), opts=opts)
 
         if solver == "sgd":
-            bp = mlp_batch_problem(self.spec)
+            bp = self._get_batch_problem(0.0)
             opts = SGDOptions(
                 epochs=c.max_iters, batch_size=c.batch_size,
                 step_size=c.learning_rate,
@@ -236,7 +255,7 @@ class Launcher:
             # Reference strategy defaults: lambda=1e-4 L2, b_H = batch/2,
             # m_inner = N/batch (unified_optimization.hpp:314-405).
             lam = c.lam if c.lam > 0 else 1e-4
-            bp = mlp_batch_problem(self.spec, lam=lam)
+            bp = self._get_batch_problem(lam)
             opts = SLBFGSOptions(
                 epochs=c.max_iters, tol=c.tolerance,
                 m_inner=max(N // c.batch_size, 1),
