@@ -118,6 +118,46 @@ def main():
     except Exception as e:  # supplementary must never kill the headline
         log(f"S-LBFGS supplementary failed: {e}")
 
+    # ---- supplementary: fused two-loop kernel microbenchmark (us/call) ----
+    try:
+        import numpy as np
+        from jax import lax
+        from lbfgs_ffnn_tpu.ops.two_loop import empty_history_state, ring_push, two_loop
+        from lbfgs_ffnn_tpu.ops.pallas_two_loop import two_loop_pallas
+
+        n = spec.n_params
+        rng = np.random.default_rng(0)
+        K = 100 if QUICK else 300
+
+        def tl_bench(fn, m):
+            hist = empty_history_state(m, n, jnp.float32)
+            for _ in range(m):
+                s = jnp.asarray(rng.normal(size=n), jnp.float32)
+                yv = jnp.asarray(rng.normal(size=n) + 0.5 * np.asarray(s), jnp.float32)
+                hist = ring_push(hist, s, yv, 1.0 / jnp.vdot(yv, s), jnp.array(True))
+
+            def many(v, hist):
+                def bd(i, acc):
+                    return acc + 1e-6 * fn(acc, hist)
+                return jnp.sum(lax.fori_loop(0, K, bd, v))
+
+            c = jax.jit(many).lower(jnp.zeros(n, jnp.float32), hist).compile()
+            vs = [jnp.asarray(rng.normal(size=n), jnp.float32) for _ in range(3)]
+            _ = float(c(vs[0], hist))
+            ts = []
+            for v in vs[1:]:
+                t0 = time.perf_counter()
+                _ = float(c(v, hist))
+                ts.append(time.perf_counter() - t0)
+            return min(ts) / K * 1e6
+
+        for m in (10, 100):
+            us_x = tl_bench(two_loop, m)
+            us_p = tl_bench(two_loop_pallas, m)
+            log(f"two-loop m={m} n={n}: pallas {us_p:.1f} us | xla {us_x:.1f} us")
+    except Exception as e:
+        log(f"two-loop supplementary failed: {e}")
+
     baseline_ms = 7.20  # reference cuBLAS L-BFGS m=10 ms/iter (BASELINE.md)
     print(json.dumps({
         "metric": "MNIST 784-128-10 full-batch L-BFGS m=10 step time",
