@@ -32,6 +32,7 @@ from lbfgs_ffnn_tpu.data.datasets import Dataset
 from lbfgs_ffnn_tpu.objectives.mlp import (
     MLPSpec,
     evaluate,
+    mlp_apply,
     mlp_batch_problem,
     mlp_init,
     mlp_problem,
@@ -76,6 +77,7 @@ class UnifiedConfig:
     write_csv: bool = True
     timed_chunks: int = 0        # >0: L-BFGS runs in K-iter chunks with
                                  # measured cumulative TimeMs per chunk
+    record_accuracy: bool = False  # per-epoch TrainAcc column (sgd/slbfgs)
 
 
 @dataclasses.dataclass
@@ -194,7 +196,11 @@ class Launcher:
         csv_path = None
         if config.write_csv:
             csv_path = f"{config.name}_history.csv"
-            write_history_csv(csv_path, history, config.log_interval)
+            extra = None
+            if result.metric_history is not None:
+                n = int(result.n_iters)
+                extra = {"TrainAcc": np.asarray(result.metric_history[:n])}
+            write_history_csv(csv_path, history, config.log_interval, extra)
 
         train_eval = evaluate(self.spec, self.weights, self._x, self._y)
         if verbose:
@@ -206,6 +212,17 @@ class Launcher:
                 f"train_acc={train_eval['accuracy']:.2f}%"
             )
         return TrainReport(result, history, wall, csv_path, train_eval)
+
+    def _accuracy_metric(self):
+        if "acc" not in self._prob_cache:
+            spec = self.spec
+
+            def acc(w, x, y):
+                pred = jnp.argmax(mlp_apply(spec, w, x), axis=1)
+                return jnp.mean((pred == jnp.argmax(y, axis=1)).astype(w.dtype)) * 100.0
+
+            self._prob_cache["acc"] = acc
+        return self._prob_cache["acc"]
 
     def _lbfgs_opts(self, c: UnifiedConfig) -> LBFGSOptions:
         cuda = self.backend_style == "cuda"
@@ -240,6 +257,7 @@ class Launcher:
         if solver == "sgd":
             bp = self._get_batch_problem(0.0)
             opts = SGDOptions(
+                metric_fn=self._accuracy_metric() if c.record_accuracy else None,
                 epochs=c.max_iters, batch_size=c.batch_size,
                 step_size=c.learning_rate,
                 momentum=c.momentum if cuda else 0.0,
@@ -257,6 +275,7 @@ class Launcher:
             lam = c.lam if c.lam > 0 else 1e-4
             bp = self._get_batch_problem(lam)
             opts = SLBFGSOptions(
+                metric_fn=self._accuracy_metric() if c.record_accuracy else None,
                 epochs=c.max_iters, tol=c.tolerance,
                 m_inner=max(N // c.batch_size, 1),
                 history=c.m_param, L=c.L_param, batch_size=c.batch_size,

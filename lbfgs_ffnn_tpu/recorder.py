@@ -48,17 +48,21 @@ def history_from_result(result: SolveResult, total_time_s: float) -> History:
     return History(loss=loss, gnorm=gnorm, time_ms=time_ms)
 
 
-def write_history_csv(path: str, history: History, log_interval: int = 1) -> None:
+def write_history_csv(
+    path: str, history: History, log_interval: int = 1, extra: dict | None = None
+) -> None:
     """Write ``Iteration,Loss,GradNorm,TimeMs`` rows strided by log_interval
     (reference: src/unified_optimization.hpp:77-84). Uses the native CSV
-    writer when available."""
+    writer when available. ``extra`` maps additional column names (e.g.
+    ``TrainAcc`` — the reference's plot tooling shows accuracy panels when
+    such columns exist) to per-iteration arrays."""
     if log_interval <= 0 or history.n == 0:
         return
     lib = get_lib()
     loss = np.ascontiguousarray(history.loss, dtype=np.float64)
     gnorm = np.ascontiguousarray(history.gnorm, dtype=np.float64)
     tms = np.ascontiguousarray(history.time_ms, dtype=np.float64)
-    if lib is not None:
+    if not extra and lib is not None:
         p = ctypes.POINTER(ctypes.c_double)
         rc = lib.csv_write_history(
             str(path).encode(),
@@ -67,10 +71,18 @@ def write_history_csv(path: str, history: History, log_interval: int = 1) -> Non
         )
         if rc == 0:
             return
+    extra = extra or {}
+    cols = {k: np.asarray(v, dtype=np.float64) for k, v in extra.items()}
     with open(path, "w") as f:
-        f.write("Iteration,Loss,GradNorm,TimeMs\n")
+        f.write("Iteration,Loss,GradNorm,TimeMs")
+        for k in cols:
+            f.write(f",{k}")
+        f.write("\n")
         for i in range(0, history.n, log_interval):
-            f.write(f"{i},{loss[i]:.17g},{gnorm[i]:.17g},{tms[i]:.17g}\n")
+            f.write(f"{i},{loss[i]:.17g},{gnorm[i]:.17g},{tms[i]:.17g}")
+            for k in cols:
+                f.write(f",{cols[k][i]:.17g}")
+            f.write("\n")
 
 
 def read_history_csv(path: str) -> History:

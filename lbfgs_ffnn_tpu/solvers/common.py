@@ -33,7 +33,7 @@ def record(loss_h, gnorm_h, k, loss, gnorm):
     return loss_h.at[k].set(loss), gnorm_h.at[k].set(gnorm)
 
 
-def finalize(x, k, converged, loss, gnorm, loss_h, gnorm_h) -> SolveResult:
+def finalize(x, k, converged, loss, gnorm, loss_h, gnorm_h, metric_h=None) -> SolveResult:
     return SolveResult(
         x=x,
         n_iters=k,
@@ -42,4 +42,5 @@ def finalize(x, k, converged, loss, gnorm, loss_h, gnorm_h) -> SolveResult:
         final_gnorm=gnorm,
         loss_history=loss_h,
         gnorm_history=gnorm_h,
+        metric_history=metric_h,
     )

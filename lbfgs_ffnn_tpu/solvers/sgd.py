@@ -38,6 +38,9 @@ class SGDOptions(NamedTuple):
     tol: float = 0.0  # >0 enables relative-improvement stopping (CUDA-ref)
     seed: int = 123
     record_full: bool = True  # per-epoch full-batch loss/gradnorm recording
+    metric_fn: object = None  # optional (w, x, y) -> scalar, recorded per epoch
+                              # (e.g. train accuracy; reference plot tooling
+                              # shows TrainAcc columns when present)
 
 
 class _State(NamedTuple):
@@ -49,6 +52,7 @@ class _State(NamedTuple):
     stop: jax.Array
     loss_h: jax.Array
     gnorm_h: jax.Array
+    metric_h: jax.Array
 
 
 def _build(problem: BatchProblem, opts: SGDOptions, N: int):
@@ -72,6 +76,7 @@ def _build(problem: BatchProblem, opts: SGDOptions, N: int):
             stop=jnp.array(False),
             loss_h=loss_h,
             gnorm_h=gnorm_h,
+            metric_h=jnp.full((opts.epochs,), jnp.nan, dtype=w0.dtype),
         )
 
         def update(w, v, lr, g):
@@ -121,6 +126,9 @@ def _build(problem: BatchProblem, opts: SGDOptions, N: int):
             else:
                 full_loss, gnorm = epoch_loss, jnp.asarray(jnp.nan, dtype=w.dtype)
             loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.epoch, full_loss, gnorm)
+            metric_h = s.metric_h
+            if opts.metric_fn is not None:
+                metric_h = metric_h.at[s.epoch].set(opts.metric_fn(w, x, y))
 
             # Relative-improvement stopping (reference: src/cuda/sgd.cuh:126-131).
             stop = s.stop
@@ -131,13 +139,15 @@ def _build(problem: BatchProblem, opts: SGDOptions, N: int):
 
             return _State(
                 epoch=s.epoch + 1, w=w, v=v, lr=lr, prev_loss=epoch_loss,
-                stop=stop, loss_h=loss_h, gnorm_h=gnorm_h,
+                stop=stop, loss_h=loss_h, gnorm_h=gnorm_h, metric_h=metric_h,
             )
 
         s = lax.while_loop(cond, body, s0)
         last = jnp.maximum(s.epoch - 1, 0)
         return finalize(
-            s.w, s.epoch, s.stop, s.loss_h[last], s.gnorm_h[last], s.loss_h, s.gnorm_h
+            s.w, s.epoch, s.stop, s.loss_h[last], s.gnorm_h[last],
+            s.loss_h, s.gnorm_h,
+            s.metric_h if opts.metric_fn is not None else None,
         )
 
     return solve

@@ -62,6 +62,7 @@ class SLBFGSOptions(NamedTuple):
     record_full: bool = True    # per-epoch full loss + gradient (as reference)
     curvature_eps: float = 1e-10
     two_loop_impl: str = "xla"  # "xla" | "pallas"
+    metric_fn: object = None    # optional (w, x, y) -> scalar per-epoch metric
 
 
 class _VecRing(NamedTuple):
@@ -107,6 +108,7 @@ class _State(NamedTuple):
     gnorm: jax.Array    # ||mu|| of the most recent epoch
     loss_h: jax.Array
     gnorm_h: jax.Array
+    metric_h: jax.Array
 
 
 class _Ops(NamedTuple):
@@ -246,6 +248,7 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
             gnorm=jnp.asarray(jnp.inf, dtype=w0.dtype),
             loss_h=loss_h,
             gnorm_h=gnorm_h,
+            metric_h=jnp.full((opts.epochs,), jnp.nan, dtype=w0.dtype),
         )
 
         def cond(s: _State):
@@ -312,11 +315,14 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
                     )
                 else:
                     loss_h, gnorm_h = s.loss_h, s.gnorm_h
+                metric_h = s.metric_h
+                if opts.metric_fn is not None:
+                    metric_h = metric_h.at[s.epoch].set(opts.metric_fn(w_new, x, y))
 
                 return _State(
                     epoch=s.epoch + 1, w=w_new, hist=hist, u_prev=u_prev,
                     has_u=has_u, stop=jnp.array(False), gnorm=mu_norm,
-                    loss_h=loss_h, gnorm_h=gnorm_h,
+                    loss_h=loss_h, gnorm_h=gnorm_h, metric_h=metric_h,
                 )
 
             def skip_epoch(s: _State) -> _State:
@@ -327,7 +333,8 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
         s = lax.while_loop(cond, body, s0)
         last = jnp.maximum(s.epoch - 1, 0)
         return finalize(
-            s.w, s.epoch, s.stop, s.loss_h[last], s.gnorm, s.loss_h, s.gnorm_h
+            s.w, s.epoch, s.stop, s.loss_h[last], s.gnorm, s.loss_h, s.gnorm_h,
+            s.metric_h if opts.metric_fn is not None else None,
         )
 
     return solve

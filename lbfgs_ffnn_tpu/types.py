@@ -92,6 +92,7 @@ class SolveResult(NamedTuple):
     final_gnorm: jax.Array
     loss_history: jax.Array
     gnorm_history: jax.Array
+    metric_history: Optional[jax.Array] = None  # e.g. per-epoch accuracy
 
 
 def make_problem(

@@ -91,3 +91,19 @@ def test_lbfgs_timed_chunks_real_times(tmp_path, monkeypatch):
     # chunk granularity: every 4 consecutive iterations share a timestamp
     assert t[0] == t[1] == t[2] == t[3]
     assert t[3] < t[4] or report.history.n <= 4
+
+
+def test_record_accuracy_column(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    launcher = make_launcher()
+    cfg = UnifiedConfig(name="Acc", max_iters=5, learning_rate=0.05,
+                        batch_size=64, log_interval=1, record_accuracy=True)
+    report = launcher.train("sgd", cfg, verbose=False)
+    with open(report.csv_path) as f:
+        header = f.readline().strip()
+        assert header == "Iteration,Loss,GradNorm,TimeMs,TrainAcc"
+        rows = [line.split(",") for line in f]
+    accs = [float(r[4]) for r in rows]
+    assert all(0.0 <= a <= 100.0 for a in accs)
+    # accuracy should improve over the run on this learnable dataset
+    assert accs[-1] >= accs[0]
