@@ -99,26 +99,57 @@ def _u(spec: MLPSpec, w: jax.Array, xt: jax.Array) -> jax.Array:
     return mlp_apply(spec, w, xt)[:, 0]
 
 
-def burgers_residual(spec: MLPSpec, w: jax.Array, xt: jax.Array, nu: float = BURGERS_NU) -> jax.Array:
-    """PDE residual u_t + u*u_x - nu*u_xx at each point, all derivatives via
-    batched forward-mode (the vectorized analogue of the reference's
-    __enzyme_fwddiff calls, test_burgers_parallel.cpp:43-63)."""
-    n = xt.shape[0]
-    ex = jnp.tile(jnp.asarray([[1.0, 0.0]], dtype=xt.dtype), (n, 1))
-    et = jnp.tile(jnp.asarray([[0.0, 1.0]], dtype=xt.dtype), (n, 1))
+def burgers_residual(
+    spec: MLPSpec, w: jax.Array, xt: jax.Array, nu: float = BURGERS_NU,
+    formulation: str = "vmap",
+) -> jax.Array:
+    """PDE residual u_t + u*u_x - nu*u_xx at each point.
 
-    def u_fn(pts):
-        return _u(spec, w, pts)
+    Default ``"vmap"`` formulation: per-point scalar derivatives (jvp and
+    forward-over-forward jvp — the exact composition of the reference's
+    __enzyme_fwddiff calls, test_burgers_parallel.cpp:43-63) vectorized
+    with ``jax.vmap``; XLA re-batches the tiny GEMMs. The ``"batched"``
+    formulation pushes whole point-batches through jvp directly — it is
+    mathematically identical but its gradient trips a TPU compiler crash
+    (Mosaic SIGILL) at >~500 collocation points when nested inside a
+    solver loop, so it is kept only as a cross-check.
+    """
+    if formulation == "batched":
+        n = xt.shape[0]
+        ex = jnp.tile(jnp.asarray([[1.0, 0.0]], dtype=xt.dtype), (n, 1))
+        et = jnp.tile(jnp.asarray([[0.0, 1.0]], dtype=xt.dtype), (n, 1))
 
-    u, u_x = jax.jvp(u_fn, (xt,), (ex,))
-    _, u_t = jax.jvp(u_fn, (xt,), (et,))
+        def u_fn(pts):
+            return _u(spec, w, pts)
 
-    # forward-over-forward for u_xx
-    def u_x_fn(pts):
-        return jax.jvp(u_fn, (pts,), (jnp.ones_like(pts) * jnp.asarray([1.0, 0.0], dtype=pts.dtype),))[1]
+        u, u_x = jax.jvp(u_fn, (xt,), (ex,))
+        _, u_t = jax.jvp(u_fn, (xt,), (et,))
 
-    _, u_xx = jax.jvp(u_x_fn, (xt,), (ex,))
-    return u_t + u * u_x - nu * u_xx
+        def u_x_fn(pts):
+            return jax.jvp(
+                u_fn, (pts,),
+                (jnp.ones_like(pts) * jnp.asarray([1.0, 0.0], dtype=pts.dtype),),
+            )[1]
+
+        _, u_xx = jax.jvp(u_x_fn, (xt,), (ex,))
+        return u_t + u * u_x - nu * u_xx
+
+    def u1(pt):
+        return mlp_apply(spec, w, pt.reshape(1, 2))[0, 0]
+
+    def per_point(pt):
+        ex = jnp.asarray([1.0, 0.0], dtype=pt.dtype)
+        et = jnp.asarray([0.0, 1.0], dtype=pt.dtype)
+        u, u_x = jax.jvp(u1, (pt,), (ex,))
+        _, u_t = jax.jvp(u1, (pt,), (et,))
+
+        def u_x_fn(q):
+            return jax.jvp(u1, (q,), (ex,))[1]
+
+        _, u_xx = jax.jvp(u_x_fn, (pt,), (ex,))
+        return u_t + u * u_x - nu * u_xx
+
+    return jax.vmap(per_point)(xt)
 
 
 def burgers_problem(
@@ -166,22 +197,26 @@ def oscillator_problem(
 
     def fun(w, aux):
         xs = aux  # (n, 1) collocation points
-        ones = jnp.ones_like(xs)
 
-        def u_fn(pts):
-            return mlp_apply(spec, w, pts)[:, 0]
+        def u1(pt):
+            return mlp_apply(spec, w, pt.reshape(1, 1))[0, 0]
 
-        u, du = jax.jvp(u_fn, (xs,), (ones,))
+        def per_point(pt):
+            one = jnp.ones_like(pt)
+            u, du = jax.jvp(u1, (pt,), (one,))
 
-        def du_fn(pts):
-            return jax.jvp(u_fn, (pts,), (jnp.ones_like(pts),))[1]
+            def du_fn(q):
+                return jax.jvp(u1, (q,), (jnp.ones_like(q),))[1]
 
-        _, ddu = jax.jvp(du_fn, (xs,), (ones,))
+            _, ddu = jax.jvp(du_fn, (pt,), (one,))
+            return u, ddu
+
+        u, ddu = jax.vmap(per_point)(xs)
         ode = jnp.mean((ddu + u) ** 2)
 
-        x0 = jnp.zeros((1, 1), dtype=xs.dtype)
-        u0, du0 = jax.jvp(u_fn, (x0,), (jnp.ones_like(x0),))
-        bc = u0[0] ** 2 + (du0[0] - 1.0) ** 2
+        x0 = jnp.zeros((1,), dtype=xs.dtype)
+        u0, du0 = jax.jvp(u1, (x0,), (jnp.ones_like(x0),))
+        bc = u0**2 + (du0 - 1.0) ** 2
         return w_ode * ode + w_bc * bc
 
     return make_problem(fun)

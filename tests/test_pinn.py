@@ -104,3 +104,13 @@ def test_fd_oracle_sanity():
     assert abs(u_half[0]) < 1e-12 and abs(u_half[-1]) < 1e-12
     assert np.abs(u_half).max() < 1.0  # decayed from the IC amplitude
     assert np.abs(u_half).max() > 0.3  # but not trivially zero
+
+
+def test_residual_formulations_agree():
+    """vmap (default) and batched jvp formulations are the same math."""
+    spec = default_burgers_spec(width=8)
+    w = pinn_init(spec, jax.random.PRNGKey(5), dtype=jnp.float64)
+    xt = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (37, 2)), jnp.float64)
+    r_v = burgers_residual(spec, w, xt, formulation="vmap")
+    r_b = burgers_residual(spec, w, xt, formulation="batched")
+    np.testing.assert_allclose(np.asarray(r_v), np.asarray(r_b), rtol=1e-10, atol=1e-12)
