@@ -144,6 +144,21 @@ def mlp_apply(
     return h
 
 
+def mlp_apply_single(spec: MLPSpec, w: jax.Array, x: jax.Array) -> jax.Array:
+    """Forward pass for one sample ``x (in_dim,) -> (out_dim,)``.
+
+    Written as vector-matrix products so that ``jax.vmap`` over samples
+    lowers to clean (B, in) @ (in, out) GEMMs — the per-point form PINN
+    residuals vmap over."""
+    h = x
+    for li, (w_off, b_off, d_in, d_out) in enumerate(spec.layer_slices()):
+        W = w[w_off : w_off + d_in * d_out].reshape(d_in, d_out)
+        b = w[b_off : b_off + d_out]
+        z = jnp.dot(h, W, preferred_element_type=h.dtype) + b
+        h = _ACTIVATIONS[spec.activations[li]](z)
+    return h
+
+
 def mlp_loss(
     spec: MLPSpec, w: jax.Array, x: jax.Array, y: jax.Array,
     lam: float = 0.0, compute_dtype=None,

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from lbfgs_ffnn_tpu.objectives.mlp import MLPSpec, mlp_apply, mlp_spec
+from lbfgs_ffnn_tpu.objectives.mlp import MLPSpec, mlp_apply, mlp_apply_single, mlp_spec
 from lbfgs_ffnn_tpu.types import Problem, make_problem
 
 
@@ -135,7 +135,7 @@ def burgers_residual(
         return u_t + u * u_x - nu * u_xx
 
     def u1(pt):
-        return mlp_apply(spec, w, pt.reshape(1, 2))[0, 0]
+        return mlp_apply_single(spec, w, pt)[0]
 
     def per_point(pt):
         ex = jnp.asarray([1.0, 0.0], dtype=pt.dtype)
@@ -199,7 +199,7 @@ def oscillator_problem(
         xs = aux  # (n, 1) collocation points
 
         def u1(pt):
-            return mlp_apply(spec, w, pt.reshape(1, 1))[0, 0]
+            return mlp_apply_single(spec, w, pt)[0]
 
         def per_point(pt):
             one = jnp.ones_like(pt)

@@ -221,6 +221,7 @@ def lbfgs_chunked(
     opts: LBFGSOptions | None = None,
     chunk: int = 10,
     callback: Optional[Callable[[_State, float], None]] = None,
+    resume_state: Optional[_State] = None,
 ) -> tuple[SolveResult, "jnp.ndarray"]:
     """Run L-BFGS in jitted ``chunk``-iteration pieces.
 
@@ -229,11 +230,16 @@ def lbfgs_chunked(
     excluding compile) — the honest version of the reference's per-iteration
     timestamps. ``callback(state, elapsed_s)`` fires after each chunk (use
     for live logging or checkpointing via lbfgs_ffnn_tpu.checkpoint).
+
+    ``resume_state`` continues from a previously checkpointed chunk state
+    (the full carry: iterate, gradient, curvature ring, histories), so a
+    long solve can be killed and resumed with its quasi-Newton memory intact
+    — a capability the reference lacks entirely (SURVEY.md §5).
     """
     opts = opts or LBFGSOptions()
     init, run_chunk = _cached_chunk_fns(problem, opts, chunk)
 
-    state = init(x0, aux)
+    state = resume_state if resume_state is not None else init(x0, aux)
     jax.block_until_ready(state.x)
     # Warm-up compile on a perturbed copy: remote-TPU runtimes can serve a
     # repeat of an *identical* dispatch from cache, which would zero out the

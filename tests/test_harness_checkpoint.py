@@ -64,3 +64,35 @@ def test_weights_npz_roundtrip(tmp_path):
     p = tmp_path / "w.npz"
     save_weights_npz(p, w)
     np.testing.assert_array_equal(load_weights_npz(p), np.asarray(w))
+
+
+def test_lbfgs_chunked_checkpoint_resume(tmp_path):
+    """Kill-and-resume: checkpoint the chunk state mid-run, restore into a
+    fresh driver, and reach the identical final result."""
+    from lbfgs_ffnn_tpu.solvers.lbfgs import lbfgs_chunked
+
+    prob = rosenbrock_problem()
+    x0 = rosenbrock_start(4)
+    opts = LBFGSOptions(max_iters=60, tol=1e-12, m=8)
+
+    res_full, _ = lbfgs_chunked(prob, x0, opts=opts, chunk=10)
+
+    saved = {}
+
+    def save_at_20(state, elapsed):
+        if int(state.k) == 20 and not saved:
+            save_checkpoint(tmp_path / "mid", state)
+            saved["state"] = jax.tree_util.tree_map(jnp.zeros_like, state)
+
+    # first leg: run and capture the k=20 state, then abandon the run
+    lbfgs_chunked(prob, x0, opts=opts, chunk=10, callback=save_at_20)
+    assert saved, "checkpoint callback never fired"
+
+    restored = restore_checkpoint(tmp_path / "mid", saved["state"])
+    assert int(restored.k) == 20
+    res_resumed, _ = lbfgs_chunked(prob, x0, opts=opts, chunk=10, resume_state=restored)
+
+    np.testing.assert_allclose(
+        np.asarray(res_resumed.x), np.asarray(res_full.x), rtol=1e-12
+    )
+    assert int(res_resumed.n_iters) == int(res_full.n_iters)
