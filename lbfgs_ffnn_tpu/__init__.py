@@ -45,6 +45,8 @@ from lbfgs_ffnn_tpu.solvers import (
     slbfgs,
 )
 
+from lbfgs_ffnn_tpu.launcher import Launcher, UnifiedConfig
+
 __version__ = "0.1.0"
 
 __all__ = [
@@ -65,4 +67,6 @@ __all__ = [
     "newton",
     "sgd",
     "slbfgs",
+    "Launcher",
+    "UnifiedConfig",
 ]
