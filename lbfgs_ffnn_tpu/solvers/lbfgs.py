@@ -50,6 +50,10 @@ class LBFGSOptions(NamedTuple):
     c2: float = 0.9
     ls_shrink: float = 0.5
     curvature_eps: float = 1e-10
+    curvature_rel_eps: float = 0.0  # >0: scale-invariant gate
+                                    # y^T s > rel_eps * ||y|| * ||s||
+                                    # (robust for float32; the reference's
+                                    # absolute 1e-10 gate is scale-sensitive)
     two_loop_impl: str = "xla"  # "xla" | "pallas"
 
 
@@ -151,7 +155,11 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
         step = alpha * p
         y = g_new - s.g
         ys = jnp.vdot(y, step)
-        accept = ys > opts.curvature_eps
+        if opts.curvature_rel_eps > 0.0:
+            gate = opts.curvature_rel_eps * jnp.linalg.norm(y) * jnp.linalg.norm(step)
+        else:
+            gate = opts.curvature_eps
+        accept = ys > gate
         rho = jnp.where(accept, 1.0 / jnp.where(ys == 0, 1.0, ys), 0.0)
         hist = ring_push(hist, step, y, rho, accept)
 

@@ -61,6 +61,7 @@ class SLBFGSOptions(NamedTuple):
     seed: int = 123
     record_full: bool = True    # per-epoch full loss + gradient (as reference)
     curvature_eps: float = 1e-10
+    curvature_rel_eps: float = 0.0  # >0: |y^T s| > rel_eps*||y||*||s|| gate
     two_loop_impl: str = "xla"  # "xla" | "pallas"
     metric_fn: object = None    # optional (w, x, y) -> scalar per-epoch metric
 
@@ -283,7 +284,12 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
                             s_vec = u - u_prev
                             yv = ops.hvp(u, s_vec, jax.random.fold_in(k_t, 1))
                             ys = jnp.vdot(yv, s_vec)
-                            accept = jnp.abs(ys) > opts.curvature_eps
+                            if opts.curvature_rel_eps > 0.0:
+                                gate = (opts.curvature_rel_eps
+                                        * jnp.linalg.norm(yv) * jnp.linalg.norm(s_vec))
+                            else:
+                                gate = opts.curvature_eps
+                            accept = jnp.abs(ys) > gate
                             rho = jnp.where(accept, 1.0 / jnp.where(ys == 0, 1.0, ys), 0.0)
                             return (ring_push(hist, s_vec, yv, rho, accept),)
 

@@ -176,3 +176,14 @@ def test_lbfgs_chunked_matches_while_loop():
     assert np.all(np.isfinite(t[:n]))
     assert np.all(np.diff(t[:n]) >= 0)  # cumulative
     assert len(chunks_seen) >= 1
+
+
+def test_relative_curvature_gate():
+    """Scale-invariant curvature gate converges like the absolute one on the
+    standard suite (and is the robust f32 option)."""
+    x0 = rosenbrock_start(4)
+    res = lbfgs(
+        ROSEN, x0,
+        opts=LBFGSOptions(max_iters=4000, tol=1e-12, m=16, curvature_rel_eps=1e-8),
+    )
+    assert float(res.final_gnorm) <= 1e-10
