@@ -11,7 +11,6 @@ gracefully when no C++ toolchain is available.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 import threading
 from pathlib import Path

@@ -35,7 +35,7 @@ single-device run (per-shard sampling), the algorithm is unchanged.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 assembly with the synthetic-image fallback."""
 
 import numpy as np
-import pytest
 
 from lbfgs_ffnn_tpu.data.idx import (
     read_idx_images,

@@ -10,7 +10,6 @@ from lbfgs_ffnn_tpu.objectives.mlp import (
     mlp_apply,
     mlp_batch_problem,
     mlp_init,
-    mlp_loss,
     mlp_problem,
     mlp_spec,
 )

@@ -4,7 +4,6 @@ classification problem (synthetic MNIST-like, real reference label stream)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from lbfgs_ffnn_tpu.data.datasets import load_mnist
 from lbfgs_ffnn_tpu.objectives.mlp import (

@@ -10,7 +10,6 @@ import numpy as np
 import pytest
 
 from lbfgs_ffnn_tpu.ops.two_loop import (
-    RingState,
     empty_history_state,
     ring_push,
     ring_reset,
