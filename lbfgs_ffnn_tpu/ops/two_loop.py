@@ -89,6 +89,62 @@ def ring_reset(hist: RingState, do_reset) -> RingState:
     return RingState(S=hist.S, Y=hist.Y, rho=hist.rho, head=head, count=count)
 
 
+def _two_loop_core(
+    v, S, Y, rho, head, count, dot,
+    clamp_gamma: bool, gamma_min: float, gamma_max: float,
+):
+    """Two-loop recursion with a pluggable inner-product.
+
+    ``dot(a, b)`` is ``jnp.vdot`` on one device, or a psum-reduced partial
+    dot when the parameter axis is sharded over a mesh.
+    """
+    m = S.shape[0]
+
+    def phys(li):
+        # logical index (0 = oldest) -> physical ring slot
+        return (head - count + li) % m
+
+    # Backward pass: newest -> oldest.
+    def bwd(j, carry):
+        q, alphas = carry
+        li = count - 1 - j
+        valid = li >= 0
+        i = phys(jnp.maximum(li, 0))
+        a = rho[i] * dot(S[i], q)
+        a = jnp.where(valid, a, jnp.zeros_like(a))
+        q = q - a * Y[i]
+        store = jnp.where(valid, li, 0)
+        alphas = alphas.at[store].set(jnp.where(valid, a, alphas[store]))
+        return q, alphas
+
+    q0 = v
+    alphas0 = jnp.zeros((m,), dtype=v.dtype)
+    q, alphas = lax.fori_loop(0, m, bwd, (q0, alphas0))
+
+    # Initial Hessian scaling from the newest pair.
+    last = phys(jnp.maximum(count - 1, 0))
+    ys = dot(S[last], Y[last])
+    yy = dot(Y[last], Y[last])
+    if clamp_gamma:
+        gamma = jnp.where(jnp.abs(yy) < 1e-12, jnp.ones_like(ys), ys / jnp.where(yy == 0, 1.0, yy))
+        gamma = jnp.clip(gamma, gamma_min, gamma_max)
+    else:
+        gamma = jnp.where(yy > 0, ys / jnp.where(yy == 0, 1.0, yy), jnp.ones_like(ys))
+    gamma = jnp.where(count > 0, gamma, jnp.ones_like(gamma))
+
+    z = gamma * q
+
+    # Forward pass: oldest -> newest.
+    def fwd(li, z):
+        valid = li < count
+        i = phys(jnp.minimum(li, jnp.maximum(count - 1, 0)))
+        b = rho[i] * dot(Y[i], z)
+        coeff = jnp.where(valid, alphas[li] - b, jnp.zeros_like(b))
+        return z + coeff * S[i]
+
+    return lax.fori_loop(0, m, fwd, z)
+
+
 def two_loop(
     v: jax.Array,
     hist: RingState,
@@ -109,48 +165,49 @@ def two_loop(
     S, Y, rho, head, count = hist
     n = v.shape[0]
     v = _pad_to(v, n_pad)
-
-    def phys(li):
-        # logical index (0 = oldest) -> physical ring slot
-        return (head - count + li) % m
-
-    # Backward pass: newest -> oldest.
-    def bwd(j, carry):
-        q, alphas = carry
-        li = count - 1 - j
-        valid = li >= 0
-        i = phys(jnp.maximum(li, 0))
-        a = rho[i] * jnp.vdot(S[i], q)
-        a = jnp.where(valid, a, jnp.zeros_like(a))
-        q = q - a * Y[i]
-        store = jnp.where(valid, li, 0)
-        alphas = alphas.at[store].set(jnp.where(valid, a, alphas[store]))
-        return q, alphas
-
-    q0 = v
-    alphas0 = jnp.zeros((m,), dtype=v.dtype)
-    q, alphas = lax.fori_loop(0, m, bwd, (q0, alphas0))
-
-    # Initial Hessian scaling from the newest pair.
-    last = phys(jnp.maximum(count - 1, 0))
-    ys = jnp.vdot(S[last], Y[last])
-    yy = jnp.vdot(Y[last], Y[last])
-    if clamp_gamma:
-        gamma = jnp.where(jnp.abs(yy) < 1e-12, jnp.ones_like(ys), ys / jnp.where(yy == 0, 1.0, yy))
-        gamma = jnp.clip(gamma, gamma_min, gamma_max)
-    else:
-        gamma = jnp.where(yy > 0, ys / jnp.where(yy == 0, 1.0, yy), jnp.ones_like(ys))
-    gamma = jnp.where(count > 0, gamma, jnp.ones_like(gamma))
-
-    z = gamma * q
-
-    # Forward pass: oldest -> newest.
-    def fwd(li, z):
-        valid = li < count
-        i = phys(jnp.minimum(li, jnp.maximum(count - 1, 0)))
-        b = rho[i] * jnp.vdot(Y[i], z)
-        coeff = jnp.where(valid, alphas[li] - b, jnp.zeros_like(b))
-        return z + coeff * S[i]
-
-    z = lax.fori_loop(0, m, fwd, z)
+    z = _two_loop_core(
+        v, S, Y, rho, head, count, jnp.vdot, clamp_gamma, gamma_min, gamma_max
+    )
     return z[:n]
+
+
+def two_loop_sharded(
+    v: jax.Array,
+    hist: RingState,
+    mesh,
+    axis_name: str = "data",
+    *,
+    clamp_gamma: bool = False,
+    gamma_min: float = 1e-6,
+    gamma_max: float = 1e6,
+) -> jax.Array:
+    """Two-loop recursion with the *parameter axis* sharded over a mesh.
+
+    Each device holds a contiguous column shard of S/Y and of the input
+    vector; every inner product in the recursion becomes a partial dot +
+    ``psum`` over ICI (the collective placement named in BASELINE.json),
+    and all vector axpys stay local. Use when the curvature history itself
+    exceeds one chip's HBM — the model-parallel complement of the
+    batch-sharded gradient evaluation.
+
+    ``v`` must be padded length (``hist.S.shape[1]``) and, like S/Y, sharded
+    on its (only) axis; rho/head/count replicated. Returns the sharded
+    result vector.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    S, Y, rho, head, count = hist
+
+    def local(v, S, Y, rho, head, count):
+        def dot(a, b):
+            return jax.lax.psum(jnp.vdot(a, b), axis_name)
+
+        return _two_loop_core(
+            v, S, Y, rho, head, count, dot, clamp_gamma, gamma_min, gamma_max
+        )
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(None, axis_name), P(None, axis_name), P(), P(), P()),
+        out_specs=P(axis_name),
+    )(v, S, Y, rho, head, count)

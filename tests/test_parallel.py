@@ -187,3 +187,38 @@ def test_slbfgs_sharded_deterministic():
     r1 = slbfgs(bp, w, xs, ys, opts, mesh=mesh)
     r2 = slbfgs(bp, w, xs, ys, opts, mesh=mesh)
     np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+
+
+def test_two_loop_param_sharded_matches_single_device():
+    """Parameter-axis sharded two-loop: partial dots + psum over the mesh
+    reproduce the single-device recursion exactly (up to reduction order)."""
+    from lbfgs_ffnn_tpu.ops.two_loop import (
+        empty_history_state, ring_push, two_loop, two_loop_sharded,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(0)
+    n, m, k = 4096, 6, 9  # n == n_pad (multiple of 1024), wraps the ring
+    hist = empty_history_state(m, n, jnp.float64)
+    for _ in range(k):
+        s = rng.normal(size=n)
+        yv = rng.normal(size=n) + 0.5 * s
+        if s @ yv <= 1e-3:
+            continue
+        s_j, y_j = jnp.asarray(s), jnp.asarray(yv)
+        hist = ring_push(hist, s_j, y_j, 1.0 / jnp.vdot(y_j, s_j), jnp.array(True))
+    v = jnp.asarray(rng.normal(size=n))
+
+    r_single = two_loop(v, hist)
+
+    mesh = make_mesh(axis_name="param")
+    col = NamedSharding(mesh, P(None, "param"))
+    vecsh = NamedSharding(mesh, P("param"))
+    hist_sh = hist._replace(
+        S=jax.device_put(hist.S, col), Y=jax.device_put(hist.Y, col),
+    )
+    v_sh = jax.device_put(v, vecsh)
+    r_sharded = two_loop_sharded(v_sh, hist_sh, mesh, "param")
+    np.testing.assert_allclose(
+        np.asarray(r_sharded), np.asarray(r_single), rtol=1e-12, atol=1e-12
+    )
