@@ -11,10 +11,12 @@ Two families, matching the reference's two backends behaviorally:
   (reference: src/cuda/lbfgs.cuh:108-147), including keeping the *last
   evaluated* trial point when no trial satisfies Armijo.
 
-Unlike the reference, each trial evaluates loss and gradient together in one
-fused forward+backward (``value_and_grad``) so an accepted step needs no
-re-evaluation, and the entire search compiles into the enclosing jitted
-solver — there is no host round-trip per trial.
+Unlike the reference, the entire search compiles into the enclosing jitted
+solver — there is no host round-trip per trial. The Wolfe search evaluates
+loss and gradient together in one fused forward+backward per trial (its
+curvature test needs the gradient); the Armijo search can instead run
+forward-only trials and take a single ``value_and_grad`` at the chosen point
+(pass ``value=``), since its accept test needs only the loss.
 """
 
 from __future__ import annotations
@@ -121,6 +123,7 @@ def armijo_quad_line_search(
     shrink: float = 0.5,
     max_iters: int = 20,
     alpha0: jax.Array | float = 1.0,
+    value: Callable[..., jax.Array] | None = None,
 ) -> LineSearchResult:
     """Armijo backtracking with safeguarded quadratic interpolation.
 
@@ -130,8 +133,20 @@ def armijo_quad_line_search(
     ``[0.1a, 0.9a]``; else ``a *= shrink``. When every trial fails, the result
     carries the last *evaluated* alpha with ``ok=False`` (the reference keeps
     the parameters at that trial point and resets the curvature history).
+
+    When ``value`` (loss-only) is supplied, trials run forward-only — the
+    accept test and the quadratic fit need nothing but loss values — and one
+    ``value_and_grad`` at the chosen point produces the returned ``f_new`` /
+    ``g_new``. The trial sequence is identical to the fused variant, but a
+    backtracking-heavy iteration costs ``trials*fwd + (fwd+bwd)`` instead of
+    ``trials*(fwd+bwd)`` — the dominant late-iteration saving on large
+    full-batch objectives. (The reference cannot do this: its single
+    ``LossGradFun`` callback always computes both,
+    reference: src/cuda/minimizer_base.cuh:15-16.)
     """
     dtype = x.dtype
+    fused = value is None
+    trial_f = value_and_grad if fused else value
 
     class _C(NamedTuple):
         i: jax.Array
@@ -147,7 +162,7 @@ def armijo_quad_line_search(
         alpha_eval=jnp.asarray(alpha0, dtype=dtype),
         ok=jnp.array(False),
         f_new=f0,
-        g_new=jnp.zeros_like(x),
+        g_new=jnp.zeros_like(x) if fused else jnp.zeros((0,), dtype=dtype),
     )
 
     def cond(c: _C):
@@ -156,7 +171,10 @@ def armijo_quad_line_search(
     def body(c: _C) -> _C:
         a = c.alpha_next
         x_new = x + a * p
-        f_new, g_new = value_and_grad(x_new, aux)
+        if fused:
+            f_new, g_new = trial_f(x_new, aux)
+        else:
+            f_new, g_new = trial_f(x_new, aux), c.g_new
         ok = f_new <= f0 + c1 * a * dg0
 
         denom = 2.0 * (f_new - f0 - dg0 * a)
@@ -174,11 +192,15 @@ def armijo_quad_line_search(
         )
 
     c = lax.while_loop(cond, body, c0)
+    if fused:
+        f_new, g_new = c.f_new, c.g_new
+    else:
+        f_new, g_new = value_and_grad(x + c.alpha_eval * p, aux)
     # alpha_eval was always evaluated (max_iters >= 1).
     return LineSearchResult(
         alpha=c.alpha_eval,
         ok=c.ok,
         evaluated=jnp.array(True) if max_iters >= 1 else jnp.array(False),
-        f_new=c.f_new,
-        g_new=c.g_new,
+        f_new=f_new,
+        g_new=g_new,
     )

@@ -55,6 +55,10 @@ class LBFGSOptions(NamedTuple):
                                     # (robust for float32; the reference's
                                     # absolute 1e-10 gate is scale-sensitive)
     two_loop_impl: str = "xla"  # "xla" | "pallas"
+    ls_value_only: bool = True  # armijo only: forward-only trials + one
+                                # value_and_grad at the accepted point
+                                # (same trial sequence, ~2-3x cheaper when
+                                # backtracking; see ops/linesearch.py)
 
 
 class _State(NamedTuple):
@@ -121,6 +125,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                 problem.value_and_grad, s.x, p, s.f, dg0, aux,
                 c1=opts.c1, shrink=opts.ls_shrink,
                 max_iters=opts.ls_max_iters, alpha0=alpha0,
+                value=problem.fun if opts.ls_value_only else None,
             )
             alpha, f_new, g_new = ls.alpha, ls.f_new, ls.g_new
             # History reset on line-search failure (cuda/lbfgs.cuh:147).

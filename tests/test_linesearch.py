@@ -77,6 +77,47 @@ def test_armijo_backtracks_on_steep_function():
     np.testing.assert_allclose(float(res.f_new), float(f_chk))
 
 
+def test_armijo_value_only_matches_fused():
+    """Forward-only trials (value=) must reproduce the fused variant's trial
+    sequence exactly: same alpha, same ok, same returned f/g — including on a
+    backtracking-heavy quartic and on the accept-at-alpha0 quadratic."""
+
+    def vag(w, aux=()):
+        return jnp.sum(w**4), 4.0 * w**3
+
+    def val(w, aux=()):
+        return jnp.sum(w**4)
+
+    for x0 in (jnp.array([2.0]), jnp.array([0.1, -0.2])):
+        f0, g0 = vag(x0)
+        p = -g0
+        dg0 = jnp.vdot(g0, p)
+        fused = armijo_quad_line_search(vag, x0, p, f0, dg0)
+        lean = armijo_quad_line_search(vag, x0, p, f0, dg0, value=val)
+        assert bool(fused.ok) == bool(lean.ok)
+        np.testing.assert_allclose(float(fused.alpha), float(lean.alpha), rtol=1e-12)
+        np.testing.assert_allclose(float(fused.f_new), float(lean.f_new), rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(fused.g_new), np.asarray(lean.g_new), rtol=1e-12
+        )
+
+
+def test_armijo_value_only_failure_keeps_last_trial():
+    def vag(w, aux=()):
+        return jnp.sum(w**4), 4.0 * w**3
+
+    x = jnp.array([2.0])
+    f0, g0 = vag(x)
+    p = -g0
+    res = armijo_quad_line_search(
+        vag, x, p, f0, jnp.vdot(g0, p), max_iters=1, value=lambda w, aux=(): jnp.sum(w**4)
+    )
+    assert not bool(res.ok)
+    f_chk, g_chk = vag(x + res.alpha * p)
+    np.testing.assert_allclose(float(res.f_new), float(f_chk))
+    np.testing.assert_allclose(np.asarray(res.g_new), np.asarray(g_chk))
+
+
 def test_armijo_failure_keeps_last_trial():
     """If no trial passes (max_iters tiny on a hard function), result carries
     the last *evaluated* alpha with ok=False — the reference CUDA solver keeps
