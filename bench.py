@@ -127,7 +127,11 @@ def main():
 
         n = spec.n_params
         rng = np.random.default_rng(0)
-        K = 100 if QUICK else 300
+        # Two loop-lengths; per-call cost from the slope (t_K2 - t_K1)/(K2-K1).
+        # A single K divides the whole dispatch wall time — including the
+        # ~tens-of-ms axon tunnel round trip — by K, inflating the number by
+        # RTT/K; the slope cancels the RTT exactly.
+        K1, K2 = (25, 125) if QUICK else (50, 350)
 
         def tl_bench(fn, m):
             hist = empty_history_state(m, n, jnp.float32)
@@ -136,20 +140,23 @@ def main():
                 yv = jnp.asarray(rng.normal(size=n) + 0.5 * np.asarray(s), jnp.float32)
                 hist = ring_push(hist, s, yv, 1.0 / jnp.vdot(yv, s), jnp.array(True))
 
-            def many(v, hist):
-                def bd(i, acc):
-                    return acc + 1e-6 * fn(acc, hist)
-                return jnp.sum(lax.fori_loop(0, K, bd, v))
+            def timed_at(K):
+                def many(v, hist):
+                    def bd(i, acc):
+                        return acc + 1e-6 * fn(acc, hist)
+                    return jnp.sum(lax.fori_loop(0, K, bd, v))
 
-            c = jax.jit(many).lower(jnp.zeros(n, jnp.float32), hist).compile()
-            vs = [jnp.asarray(rng.normal(size=n), jnp.float32) for _ in range(3)]
-            _ = float(c(vs[0], hist))
-            ts = []
-            for v in vs[1:]:
-                t0 = time.perf_counter()
-                _ = float(c(v, hist))
-                ts.append(time.perf_counter() - t0)
-            return min(ts) / K * 1e6
+                c = jax.jit(many).lower(jnp.zeros(n, jnp.float32), hist).compile()
+                vs = [jnp.asarray(rng.normal(size=n), jnp.float32) for _ in range(3)]
+                _ = float(c(vs[0], hist))
+                ts = []
+                for v in vs[1:]:
+                    t0 = time.perf_counter()
+                    _ = float(c(v, hist))
+                    ts.append(time.perf_counter() - t0)
+                return min(ts)
+
+            return (timed_at(K2) - timed_at(K1)) / (K2 - K1) * 1e6
 
         for m in (10, 100):
             us_x = tl_bench(two_loop, m)
