@@ -53,8 +53,12 @@ w0 = pinn_init(spec, jax.random.PRNGKey(123), dtype=dtype)
 # on the full grid).
 rel = 0.0 if args.f64 else 1e-6
 opts = LBFGSOptions(max_iters=args.iters, tol=1e-10, m=100, ls_max_iters=100,
-                    curvature_rel_eps=rel)
+                    curvature_rel_eps=rel,
+                    two_loop_impl="pallas" if jax.default_backend() == "tpu" else "xla")
 
+# Warm-up on a perturbed init: compiles the solve (and defeats the axon
+# dispatch cache) so the timed run below measures execution only.
+_ = float(lbfgs(prob, w0 * (1.0 + 1e-6) + 1e-7, aux=pts, opts=opts).final_loss)
 t0 = time.perf_counter()
 res = lbfgs(prob, w0, aux=pts, opts=opts)
 loss = float(res.final_loss)

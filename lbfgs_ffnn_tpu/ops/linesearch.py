@@ -49,6 +49,7 @@ def wolfe_line_search(
     shrink: float = 0.5,
     max_iters: int = 50,
     alpha0: float = 1.0,
+    value: Callable[..., jax.Array] | None = None,
 ) -> LineSearchResult:
     """Bracketing bisection Wolfe search.
 
@@ -61,9 +62,18 @@ def wolfe_line_search(
     If no trial is accepted within ``max_iters``, returns the last *updated*
     alpha unevaluated (``evaluated=False``), matching the reference which
     returns the post-update alpha after exhausting trials.
+
+    When ``value`` (loss-only) is supplied, each trial computes
+    ``(f, df/dalpha)`` with one forward-mode ``jax.jvp`` along ``p`` — the
+    directional derivative is exactly the ``g·p`` the curvature test needs —
+    at roughly half the cost of a fused forward+backward, and the full
+    gradient is produced by a single ``value_and_grad`` at the accepted
+    point. Mathematically the same trial sequence (``jvp`` computes the same
+    inner product; last-ulp rounding may differ).
     """
     dtype = x.dtype
     inf = jnp.array(jnp.inf, dtype=dtype)
+    fused = value is None
 
     class _C(NamedTuple):
         i: jax.Array
@@ -81,7 +91,7 @@ def wolfe_line_search(
         hi=inf,
         ok=jnp.array(False),
         f_new=f0,
-        g_new=jnp.zeros_like(x),
+        g_new=jnp.zeros_like(x) if fused else jnp.zeros((0,), dtype=dtype),
     )
 
     def cond(c: _C):
@@ -89,9 +99,13 @@ def wolfe_line_search(
 
     def body(c: _C) -> _C:
         x_new = x + c.alpha * p
-        f_new, g_new = value_and_grad(x_new, aux)
+        if fused:
+            f_new, g_new = value_and_grad(x_new, aux)
+            dg_new = jnp.vdot(g_new, p)
+        else:
+            f_new, dg_new = jax.jvp(lambda u: value(u, aux), (x_new,), (p,))
+            g_new = c.g_new
         armijo_fail = f_new > f0 + c1 * c.alpha * dg0
-        dg_new = jnp.vdot(g_new, p)
         curv_fail = dg_new < c2 * dg0
 
         ok = ~armijo_fail & ~curv_fail
@@ -108,7 +122,20 @@ def wolfe_line_search(
         return _C(i=c.i + 1, alpha=alpha, lo=lo, hi=hi, ok=ok, f_new=f_new, g_new=g_new)
 
     c = lax.while_loop(cond, body, c0)
-    return LineSearchResult(alpha=c.alpha, ok=c.ok, evaluated=c.ok, f_new=c.f_new, g_new=c.g_new)
+    if fused:
+        f_new, g_new = c.f_new, c.g_new
+    else:
+        # Full gradient only at the accepted point; on failure the caller
+        # re-evaluates at the (unevaluated) post-update alpha itself, so skip
+        # the extra pass entirely.
+        def at_accept(_):
+            return value_and_grad(x + c.alpha * p, aux)
+
+        def skip(_):
+            return c.f_new, jnp.zeros_like(x)
+
+        f_new, g_new = lax.cond(c.ok, at_accept, skip, None)
+    return LineSearchResult(alpha=c.alpha, ok=c.ok, evaluated=c.ok, f_new=f_new, g_new=g_new)
 
 
 def armijo_quad_line_search(

@@ -33,6 +33,8 @@ class GDOptions(NamedTuple):
     c1: float = 1e-4
     c2: float = 0.9
     ls_shrink: float = 0.5
+    ls_value_only: bool = True  # (loss, g·p)-via-jvp trials; see ops/linesearch.py
+                                # (pure win here: GD re-evaluates at x_new anyway)
 
 
 class _State(NamedTuple):
@@ -65,6 +67,7 @@ def _build(problem: Problem, opts: GDOptions):
             return (s.k < opts.max_iters) & (s.gnorm >= opts.tol)
 
         def body(s: _State) -> _State:
+            ls = None
             if opts.momentum > 0.0:
                 v = opts.momentum * s.v - opts.step_size * s.g
                 x_new = s.x + v
@@ -76,12 +79,23 @@ def _build(problem: Problem, opts: GDOptions):
                         problem.value_and_grad, s.x, -s.g, s.f, dg0, aux,
                         c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
                         max_iters=opts.ls_max_iters,
+                        value=problem.fun if opts.ls_value_only else None,
                     )
                     alpha = ls.alpha
                 else:
                     alpha = jnp.asarray(opts.step_size, dtype=s.x.dtype)
                 x_new = s.x - alpha * s.g
-            f_new, g_new = problem.value_and_grad(x_new, aux)
+            if ls is None:
+                f_new, g_new = problem.value_and_grad(x_new, aux)
+            else:
+                # Reuse the search's evaluation at the accepted point; only
+                # an exhausted (unevaluated) search forces a fresh pass.
+                f_new, g_new = lax.cond(
+                    ls.evaluated,
+                    lambda _: (ls.f_new, ls.g_new),
+                    lambda _: problem.value_and_grad(x_new, aux),
+                    None,
+                )
             gnorm_new = jnp.linalg.norm(g_new)
             loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
             return _State(

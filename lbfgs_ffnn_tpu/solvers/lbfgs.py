@@ -55,7 +55,9 @@ class LBFGSOptions(NamedTuple):
                                     # (robust for float32; the reference's
                                     # absolute 1e-10 gate is scale-sensitive)
     two_loop_impl: str = "xla"  # "xla" | "pallas"
-    ls_value_only: bool = True  # armijo only: forward-only trials + one
+    ls_value_only: bool = True  # lean trials: armijo evaluates loss-only
+                                # forwards; wolfe evaluates (loss, g·p) via
+                                # one forward-mode jvp; either way a single
                                 # value_and_grad at the accepted point
                                 # (same trial sequence, ~2-3x cheaper when
                                 # backtracking; see ops/linesearch.py)
@@ -143,6 +145,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                     problem.value_and_grad, s.x, p, s.f, dg0, aux,
                     c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
                     max_iters=opts.ls_max_iters,
+                    value=problem.fun if opts.ls_value_only else None,
                 )
 
                 def use_ls(_):

@@ -29,6 +29,7 @@ class NewtonOptions(NamedTuple):
     c1: float = 1e-4
     c2: float = 0.9
     ls_shrink: float = 0.5
+    ls_value_only: bool = True  # (loss, g·p)-via-jvp trials; see ops/linesearch.py
 
 
 class _State(NamedTuple):
@@ -95,6 +96,7 @@ def _build(problem: Problem, opts: NewtonOptions):
                 problem.value_and_grad, s.x, p, s.f, dg0, aux,
                 c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
                 max_iters=opts.ls_max_iters,
+                value=problem.fun if opts.ls_value_only else None,
             )
 
             def use_ls(_):

@@ -77,6 +77,68 @@ def test_armijo_backtracks_on_steep_function():
     np.testing.assert_allclose(float(res.f_new), float(f_chk))
 
 
+def test_wolfe_value_only_matches_fused():
+    """jvp-based trials (value=) must reproduce the fused Wolfe search: the
+    directional derivative from jvp equals g·p, so accept/expand/bisect
+    decisions — and therefore alpha, ok, f/g — are identical (f64)."""
+
+    def val(w, aux=()):
+        return jnp.sum(w**4) + 0.1 * jnp.sum(w**2)
+
+    def vag(w, aux=()):
+        return val(w), 4.0 * w**3 + 0.2 * w
+
+    # analytic grad differs from autodiff only in rounding; use autodiff for
+    # both so the comparison isolates the trial-mode difference
+    vag_ad = jax.value_and_grad(val)
+
+    for x0, scale in ((jnp.array([2.0, -1.0]), 1.0), (jnp.array([0.05]), 100.0)):
+        f0, g0 = vag_ad(x0)
+        p = -scale * g0
+        dg0 = jnp.vdot(g0, p)
+        fused = wolfe_line_search(lambda w, aux=(): vag_ad(w), x0, p, f0, dg0)
+        lean = wolfe_line_search(
+            lambda w, aux=(): vag_ad(w), x0, p, f0, dg0, value=val
+        )
+        assert bool(fused.ok) == bool(lean.ok)
+        np.testing.assert_allclose(float(fused.alpha), float(lean.alpha), rtol=1e-12)
+        if bool(fused.ok):
+            np.testing.assert_allclose(float(fused.f_new), float(lean.f_new), rtol=1e-12)
+            np.testing.assert_allclose(
+                np.asarray(fused.g_new), np.asarray(lean.g_new), rtol=1e-12
+            )
+
+
+def test_lbfgs_value_only_matches_fused_end_to_end():
+    """Full L-BFGS solves with ls_value_only on/off must produce the same
+    trajectory for both line-search flavors (small MLP, f64)."""
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+    from lbfgs_ffnn_tpu.solvers import LBFGSOptions, lbfgs
+
+    spec = mlp_spec([6, 8, 3], ["relu", "linear"])
+    prob = mlp_problem(spec)
+    key = jax.random.PRNGKey(0)
+    w0 = mlp_init(spec, key, dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 6), dtype=jnp.float64)
+    y = jax.nn.one_hot(jnp.arange(32) % 3, 3, dtype=jnp.float64)
+
+    for flavor in ("wolfe", "armijo"):
+        res = {}
+        for lean in (False, True):
+            opts = LBFGSOptions(max_iters=30, tol=1e-12, m=5,
+                                line_search=flavor, ls_value_only=lean)
+            res[lean] = lbfgs(prob, w0, aux=(x, y), opts=opts)
+        assert int(res[True].n_iters) == int(res[False].n_iters), flavor
+        np.testing.assert_allclose(
+            np.asarray(res[True].x), np.asarray(res[False].x),
+            rtol=1e-9, err_msg=flavor,
+        )
+        np.testing.assert_allclose(
+            float(res[True].final_loss), float(res[False].final_loss),
+            rtol=1e-9, err_msg=flavor,
+        )
+
+
 def test_armijo_value_only_matches_fused():
     """Forward-only trials (value=) must reproduce the fused variant's trial
     sequence exactly: same alpha, same ok, same returned f/g — including on a
