@@ -52,8 +52,10 @@ w0 = pinn_init(spec, jax.random.PRNGKey(123), dtype=dtype)
 # under-rejects noisy f32 pairs near the plateau; measured loss 0.38 -> 0.23
 # on the full grid).
 rel = 0.0 if args.f64 else 1e-6
+# ls_value_only: the PINN plateau exhausts many Wolfe trials per iteration;
+# jvp trials are ~2x cheaper there (measured 1.42 vs 1.83 ms/iter).
 opts = LBFGSOptions(max_iters=args.iters, tol=1e-10, m=100, ls_max_iters=100,
-                    curvature_rel_eps=rel,
+                    curvature_rel_eps=rel, ls_value_only=True,
                     two_loop_impl="pallas" if jax.default_backend() == "tpu" else "xla")
 
 # Warm-up on a perturbed init: compiles the solve (and defeats the axon

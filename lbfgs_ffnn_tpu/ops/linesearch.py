@@ -69,7 +69,11 @@ def wolfe_line_search(
     at roughly half the cost of a fused forward+backward, and the full
     gradient is produced by a single ``value_and_grad`` at the accepted
     point. Mathematically the same trial sequence (``jvp`` computes the same
-    inner product; last-ulp rounding may differ).
+    inner product; last-ulp rounding may differ). Worth it only when
+    searches typically take several trials (e.g. PINN plateaus); a
+    one-trial-dominated run is faster fused — measured on MNIST-5k (mostly
+    1 trial): fused 1.13 ms/iter vs lean 1.28; on the Burgers plateau
+    (tens of trials): lean 1.42 vs fused 1.83.
     """
     dtype = x.dtype
     inf = jnp.array(jnp.inf, dtype=dtype)
@@ -129,7 +133,7 @@ def wolfe_line_search(
         # re-evaluates at the (unevaluated) post-update alpha itself, so skip
         # the extra pass entirely.
         def at_accept(_):
-            return value_and_grad(x + c.alpha * p, aux)
+            return c.f_new, value_and_grad(x + c.alpha * p, aux)[1]
 
         def skip(_):
             return c.f_new, jnp.zeros_like(x)

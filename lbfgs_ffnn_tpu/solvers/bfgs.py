@@ -34,7 +34,9 @@ class BFGSOptions(NamedTuple):
     c1: float = 1e-4
     c2: float = 0.9
     ls_shrink: float = 0.5
-    ls_value_only: bool = True  # (loss, g·p)-via-jvp trials; see ops/linesearch.py
+    ls_value_only: bool = False  # (loss, g·p)-via-jvp trials — worth it only
+                                 # when searches backtrack a lot; see
+                                 # ops/linesearch.py
 
 
 class _State(NamedTuple):

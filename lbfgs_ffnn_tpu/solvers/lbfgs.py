@@ -55,12 +55,14 @@ class LBFGSOptions(NamedTuple):
                                     # (robust for float32; the reference's
                                     # absolute 1e-10 gate is scale-sensitive)
     two_loop_impl: str = "xla"  # "xla" | "pallas"
-    ls_value_only: bool = True  # lean trials: armijo evaluates loss-only
-                                # forwards; wolfe evaluates (loss, g·p) via
-                                # one forward-mode jvp; either way a single
-                                # value_and_grad at the accepted point
-                                # (same trial sequence, ~2-3x cheaper when
-                                # backtracking; see ops/linesearch.py)
+    ls_value_only: bool | None = None
+    # Lean trials: armijo evaluates loss-only forwards; wolfe evaluates
+    # (loss, g·p) via one forward-mode jvp; either way a single
+    # value_and_grad runs at the accepted point. Same trial sequence,
+    # ~2-3x cheaper when backtracking dominates (see ops/linesearch.py).
+    # None = auto: True for armijo (backtracking-heavy by construction),
+    # False for wolfe (usually accepts the first trial; measured faster
+    # fused — set True explicitly for plateau-heavy objectives like PINNs).
 
 
 class _State(NamedTuple):
@@ -105,6 +107,12 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
     if opts.line_search not in ("wolfe", "armijo"):
         raise ValueError(f"unknown line_search {opts.line_search!r}")
 
+    lean = (
+        opts.ls_value_only
+        if opts.ls_value_only is not None
+        else opts.line_search == "armijo"
+    )
+
     def body(s: _State, aux) -> _State:
         p = _direction(s.g, s.hist, opts)
         hist = s.hist
@@ -127,7 +135,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                 problem.value_and_grad, s.x, p, s.f, dg0, aux,
                 c1=opts.c1, shrink=opts.ls_shrink,
                 max_iters=opts.ls_max_iters, alpha0=alpha0,
-                value=problem.fun if opts.ls_value_only else None,
+                value=problem.fun if lean else None,
             )
             alpha, f_new, g_new = ls.alpha, ls.f_new, ls.g_new
             # History reset on line-search failure (cuda/lbfgs.cuh:147).
@@ -145,7 +153,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                     problem.value_and_grad, s.x, p, s.f, dg0, aux,
                     c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
                     max_iters=opts.ls_max_iters,
-                    value=problem.fun if opts.ls_value_only else None,
+                    value=problem.fun if lean else None,
                 )
 
                 def use_ls(_):
