@@ -34,6 +34,7 @@ class LineSearchResult(NamedTuple):
     evaluated: jax.Array   # bool: do f_new/g_new correspond to `alpha`?
     f_new: jax.Array       # loss at x + alpha*p   (valid iff evaluated)
     g_new: jax.Array       # grad at x + alpha*p   (valid iff evaluated)
+    n_trials: jax.Array = jnp.int32(0)  # objective evaluations performed
 
 
 def wolfe_line_search(
@@ -139,7 +140,8 @@ def wolfe_line_search(
             return c.f_new, jnp.zeros_like(x)
 
         f_new, g_new = lax.cond(c.ok, at_accept, skip, None)
-    return LineSearchResult(alpha=c.alpha, ok=c.ok, evaluated=c.ok, f_new=f_new, g_new=g_new)
+    return LineSearchResult(alpha=c.alpha, ok=c.ok, evaluated=c.ok,
+                            f_new=f_new, g_new=g_new, n_trials=c.i)
 
 
 def armijo_quad_line_search(
@@ -234,4 +236,5 @@ def armijo_quad_line_search(
         evaluated=jnp.array(True) if max_iters >= 1 else jnp.array(False),
         f_new=f_new,
         g_new=g_new,
+        n_trials=c.i,
     )

@@ -33,7 +33,8 @@ def record(loss_h, gnorm_h, k, loss, gnorm):
     return loss_h.at[k].set(loss), gnorm_h.at[k].set(gnorm)
 
 
-def finalize(x, k, converged, loss, gnorm, loss_h, gnorm_h, metric_h=None) -> SolveResult:
+def finalize(x, k, converged, loss, gnorm, loss_h, gnorm_h, metric_h=None,
+             n_fevals=None, n_gevals=None) -> SolveResult:
     return SolveResult(
         x=x,
         n_iters=k,
@@ -43,4 +44,6 @@ def finalize(x, k, converged, loss, gnorm, loss_h, gnorm_h, metric_h=None) -> So
         loss_history=loss_h,
         gnorm_history=gnorm_h,
         metric_history=metric_h,
+        n_fevals=n_fevals,
+        n_gevals=n_gevals,
     )

@@ -74,6 +74,8 @@ class _State(NamedTuple):
     hist: RingState
     loss_h: jax.Array
     gnorm_h: jax.Array
+    nf: jax.Array  # objective (forward / jvp-trial) evaluations
+    ng: jax.Array  # full-gradient evaluations
 
 
 def _direction(g, hist, opts: LBFGSOptions):
@@ -96,6 +98,8 @@ def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux) -> _State:
         hist=empty_history_state(opts.m, x0.shape[0], x0.dtype),
         loss_h=loss_h,
         gnorm_h=gnorm_h,
+        nf=jnp.int32(1),
+        ng=jnp.int32(1),
     )
 
 
@@ -140,13 +144,17 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
             alpha, f_new, g_new = ls.alpha, ls.f_new, ls.g_new
             # History reset on line-search failure (cuda/lbfgs.cuh:147).
             hist = ring_reset(hist, ~ls.ok)
+            if lean:  # value-only trials + one value_and_grad
+                nf_add, ng_add = ls.n_trials + 1, jnp.int32(1)
+            else:     # each trial is a fused value_and_grad
+                nf_add, ng_add = ls.n_trials, ls.n_trials
         else:
             # First-iteration heuristic step, no search
             # (reference: src/minimizer/lbfgs.hpp:61-65).
             def first(_):
                 alpha = jnp.minimum(jnp.ones_like(s.gnorm), 1.0 / s.gnorm)
                 f_new, g_new = problem.value_and_grad(s.x + alpha * p, aux)
-                return alpha, f_new, g_new
+                return alpha, f_new, g_new, jnp.int32(1), jnp.int32(1)
 
             def later(_):
                 ls = wolfe_line_search(
@@ -155,6 +163,13 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                     max_iters=opts.ls_max_iters,
                     value=problem.fun if lean else None,
                 )
+                if lean:
+                    # jvp trials + one value_and_grad (at accept, or by the
+                    # re-evaluation below on failure)
+                    nf_add, ng_add = ls.n_trials + 1, jnp.int32(1)
+                else:
+                    one_more = jnp.where(ls.evaluated, 0, 1).astype(jnp.int32)
+                    nf_add, ng_add = ls.n_trials + one_more, ls.n_trials + one_more
 
                 def use_ls(_):
                     return ls.alpha, ls.f_new, ls.g_new
@@ -163,9 +178,10 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                     f_new, g_new = problem.value_and_grad(s.x + ls.alpha * p, aux)
                     return ls.alpha, f_new, g_new
 
-                return lax.cond(ls.evaluated, use_ls, reeval, None)
+                alpha, f_new, g_new = lax.cond(ls.evaluated, use_ls, reeval, None)
+                return alpha, f_new, g_new, nf_add, ng_add
 
-            alpha, f_new, g_new = lax.cond(s.k == 0, first, later, None)
+            alpha, f_new, g_new, nf_add, ng_add = lax.cond(s.k == 0, first, later, None)
 
         x_new = s.x + alpha * p
         step = alpha * p
@@ -184,13 +200,15 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
         return _State(
             k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
             hist=hist, loss_h=loss_h, gnorm_h=gnorm_h,
+            nf=s.nf + nf_add, ng=s.ng + ng_add,
         )
 
     return body
 
 
 def _finalize_state(s: _State, opts: LBFGSOptions) -> SolveResult:
-    return finalize(s.x, s.k, s.gnorm < opts.tol, s.f, s.gnorm, s.loss_h, s.gnorm_h)
+    return finalize(s.x, s.k, s.gnorm < opts.tol, s.f, s.gnorm,
+                    s.loss_h, s.gnorm_h, n_fevals=s.nf, n_gevals=s.ng)
 
 
 def _build(problem: Problem, opts: LBFGSOptions):

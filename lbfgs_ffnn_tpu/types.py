@@ -93,6 +93,10 @@ class SolveResult(NamedTuple):
     loss_history: jax.Array
     gnorm_history: jax.Array
     metric_history: Optional[jax.Array] = None  # e.g. per-epoch accuracy
+    # Evaluation counters (scipy-style nfev/njev; the reference has no
+    # equivalent). A forward-mode jvp trial counts as one feval.
+    n_fevals: Optional[jax.Array] = None  # objective (forward) evaluations
+    n_gevals: Optional[jax.Array] = None  # full-gradient evaluations
 
 
 def make_problem(

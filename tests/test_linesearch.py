@@ -180,6 +180,30 @@ def test_armijo_value_only_failure_keeps_last_trial():
     np.testing.assert_allclose(np.asarray(res.g_new), np.asarray(g_chk))
 
 
+def test_eval_counters():
+    """SolveResult.n_fevals/n_gevals count objective and gradient passes.
+    On a well-scaled quadratic every search accepts its first trial, so the
+    counts are exact: init 1/1, then per iteration armijo-lean adds
+    (trial + final v&g) = 2 fevals / 1 geval, wolfe-fused adds 1/1."""
+    from lbfgs_ffnn_tpu.types import make_problem
+    from lbfgs_ffnn_tpu.solvers import LBFGSOptions, lbfgs
+
+    prob = make_problem(lambda w, aux: 0.5 * jnp.sum((w - 1.0) ** 2))
+    x0 = jnp.zeros(4, dtype=jnp.float64)
+
+    res_a = lbfgs(prob, x0, opts=LBFGSOptions(max_iters=10, tol=0.0, m=3,
+                                              line_search="armijo"))
+    k = int(res_a.n_iters)
+    assert int(res_a.n_fevals) == 1 + 2 * k
+    assert int(res_a.n_gevals) == 1 + k
+
+    res_w = lbfgs(prob, x0, opts=LBFGSOptions(max_iters=10, tol=0.0, m=3,
+                                              line_search="wolfe"))
+    k = int(res_w.n_iters)
+    assert int(res_w.n_fevals) == 1 + k
+    assert int(res_w.n_gevals) == 1 + k
+
+
 def test_armijo_failure_keeps_last_trial():
     """If no trial passes (max_iters tiny on a hard function), result carries
     the last *evaluated* alpha with ok=False — the reference CUDA solver keeps
