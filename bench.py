@@ -150,7 +150,7 @@ def main():
                     return jnp.sum(lax.fori_loop(0, K, bd, v))
 
                 c = jax.jit(many).lower(jnp.zeros(n, jnp.float32), hist).compile()
-                vs = [jnp.asarray(rng.normal(size=n), jnp.float32) for _ in range(3)]
+                vs = [jnp.asarray(rng.normal(size=n), jnp.float32) for _ in range(4)]
                 _ = float(c(vs[0], hist))
                 ts = []
                 for v in vs[1:]:

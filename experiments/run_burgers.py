@@ -59,8 +59,11 @@ opts = LBFGSOptions(max_iters=args.iters, tol=1e-10, m=100, ls_max_iters=100,
                     two_loop_impl="pallas" if jax.default_backend() == "tpu" else "xla")
 
 # Warm-up on a perturbed init: compiles the solve (and defeats the axon
-# dispatch cache) so the timed run below measures execution only.
-_ = float(lbfgs(prob, w0 * (1.0 + 1e-6) + 1e-7, aux=pts, opts=opts).final_loss)
+# dispatch cache, a TPU-tunnel-only concern) so the timed run measures
+# execution only. Off-TPU a full warm solve would double hours-long f64 runs
+# for nothing — compilation there is a negligible slice of the wall time.
+if jax.default_backend() == "tpu":
+    _ = float(lbfgs(prob, w0 * (1.0 + 1e-6) + 1e-7, aux=pts, opts=opts).final_loss)
 t0 = time.perf_counter()
 res = lbfgs(prob, w0, aux=pts, opts=opts)
 loss = float(res.final_loss)

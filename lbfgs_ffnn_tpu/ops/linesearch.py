@@ -34,7 +34,10 @@ class LineSearchResult(NamedTuple):
     evaluated: jax.Array   # bool: do f_new/g_new correspond to `alpha`?
     f_new: jax.Array       # loss at x + alpha*p   (valid iff evaluated)
     g_new: jax.Array       # grad at x + alpha*p   (valid iff evaluated)
-    n_trials: jax.Array = jnp.int32(0)  # objective evaluations performed
+    # objective evaluations performed (plain-int default: a jnp default here
+    # would initialize the JAX backend at import time, locking in the axon
+    # platform before callers can select cpu — see CLAUDE.md)
+    n_trials: jax.Array | int = 0
 
 
 def wolfe_line_search(

@@ -96,3 +96,33 @@ def test_lbfgs_chunked_checkpoint_resume(tmp_path):
         np.asarray(res_resumed.x), np.asarray(res_full.x), rtol=1e-12
     )
     assert int(res_resumed.n_iters) == int(res_full.n_iters)
+
+
+def test_checkpoint_restore_fills_new_fields(tmp_path):
+    """A checkpoint written before a solver state gained fields must stay
+    resumable: restore_checkpoint overlays the saved tree onto the new
+    template and fills missing fields from the template (migration shim for
+    e.g. the L-BFGS eval counters)."""
+    from typing import NamedTuple
+
+    class OldState(NamedTuple):
+        k: jax.Array
+        x: jax.Array
+
+    class NewState(NamedTuple):
+        k: jax.Array
+        x: jax.Array
+        nf: jax.Array  # added after the checkpoint was written
+        ng: jax.Array
+
+    old = OldState(k=jnp.int32(7), x=jnp.arange(4.0))
+    save_checkpoint(tmp_path / "old", old)
+
+    template = NewState(
+        k=jnp.int32(0), x=jnp.zeros(4), nf=jnp.int32(0), ng=jnp.int32(0)
+    )
+    restored = restore_checkpoint(tmp_path / "old", template)
+    assert isinstance(restored, NewState)
+    assert int(restored.k) == 7
+    np.testing.assert_allclose(np.asarray(restored.x), np.arange(4.0))
+    assert int(restored.nf) == 0 and int(restored.ng) == 0
