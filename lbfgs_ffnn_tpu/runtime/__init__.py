@@ -25,7 +25,7 @@ _tried = False
 
 def _build() -> bool:
     cmd = [
-        "g++", "-std=c++20", "-O3", "-fPIC", "-shared",
+        "g++", "-std=c++20", "-O3", "-fPIC", "-shared", "-pthread",
         str(_SRC), "-o", str(_SO),
     ]
     try:
@@ -72,5 +72,14 @@ def get_lib():
             ctypes.c_char_p, p_f64, p_f64, p_f64, i64, ctypes.c_int,
         ]
         lib.csv_write_history.restype = ctypes.c_int
+        lib.streamer_create.argtypes = [
+            p_f32, p_f32, i64, i64, i64, i64, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.streamer_create.restype = i64
+        lib.streamer_next.argtypes = [i64, p_f32, p_f32, p_i64, p_i64]
+        lib.streamer_next.restype = ctypes.c_int
+        lib.streamer_destroy.argtypes = [i64]
+        lib.streamer_destroy.restype = ctypes.c_int
         _lib = lib
         return _lib

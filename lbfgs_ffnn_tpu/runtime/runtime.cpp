@@ -1,5 +1,6 @@
 // Native runtime for lbfgs_ffnn_tpu: IDX dataset parsing, one-hot encoding,
-// and CSV history writing, exposed through a plain C ABI consumed via ctypes.
+// CSV history writing, and a threaded prefetching batch streamer, exposed
+// through a plain C ABI consumed via ctypes.
 //
 // This is the TPU framework's counterpart of the reference's native data
 // loader (reference: tests/mnist/mnist_loader.hpp — big-endian IDX parse,
@@ -9,10 +10,15 @@
 //
 // All functions return 0 on success, negative error codes otherwise.
 
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <map>
 #include <memory>
+#include <mutex>
+#include <random>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -179,6 +185,165 @@ int csv_write_history(const char *path, const double *loss,
   }
   std::fclose(f);
   return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded prefetching batch streamer.
+//
+// A producer thread runs ahead of the consumer: per epoch it draws a seeded
+// Fisher-Yates permutation of the sample indices (the reference's SGD
+// sampling primitive, src/minimizer/s_gd.hpp:146-170, lifted from per-step
+// partial shuffles to epoch granularity for streaming), gathers (x, y)
+// minibatches into a bounded ring of host staging buffers, and blocks when
+// the ring is full. The consumer pops batches ready for device upload — the
+// gather/shuffle cost overlaps the previous step's device work. Epochs
+// stream back-to-back with a fresh permutation (seed folded with the epoch
+// index), so the consumer decides when to stop.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Streamer {
+  const float *x = nullptr;  // (n, xdim) row-major, caller-owned
+  const float *y = nullptr;  // (n, ydim)
+  int64_t n = 0, xdim = 0, ydim = 0, batch = 0;
+  uint64_t seed = 0;
+  bool drop_last = false;
+
+  struct Slot {
+    std::vector<float> xb, yb;
+    int64_t count = 0;    // samples in this batch (< batch for a trailing one)
+    int64_t epoch = 0;    // epoch the batch came from
+  };
+  std::vector<Slot> ring;
+  size_t head = 0, tail = 0, filled = 0;  // producer writes head, consumer reads tail
+  std::mutex mu;
+  std::condition_variable cv_produce, cv_consume;
+  bool stop = false;
+  std::thread worker;
+
+  ~Streamer() {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_produce.notify_all();
+    cv_consume.notify_all();
+    if (worker.joinable()) worker.join();
+  }
+
+  void run() {
+    std::vector<int64_t> perm(static_cast<size_t>(n));
+    for (int64_t e = 0;; ++e) {
+      // Seeded per-epoch Fisher-Yates (seed folded with the epoch index so
+      // every epoch's order is independent yet reproducible).
+      for (int64_t i = 0; i < n; ++i) perm[i] = i;
+      std::mt19937_64 rng(seed ^ (0x9e3779b97f4a7c15ULL * (e + 1)));
+      for (int64_t i = n - 1; i > 0; --i) {
+        std::uniform_int_distribution<int64_t> d(0, i);
+        std::swap(perm[i], perm[d(rng)]);
+      }
+      for (int64_t off = 0; off < n; off += batch) {
+        const int64_t count = std::min(batch, n - off);
+        if (count < batch && drop_last) break;
+        std::unique_lock<std::mutex> lk(mu);
+        cv_produce.wait(lk, [&] { return stop || filled < ring.size(); });
+        if (stop) return;
+        Slot &s = ring[head];
+        lk.unlock();
+        // Gather outside the lock: the slot is owned by the producer until
+        // `filled` is bumped below.
+        for (int64_t i = 0; i < count; ++i) {
+          const int64_t src = perm[off + i];
+          std::memcpy(s.xb.data() + i * xdim, x + src * xdim,
+                      sizeof(float) * xdim);
+          std::memcpy(s.yb.data() + i * ydim, y + src * ydim,
+                      sizeof(float) * ydim);
+        }
+        s.count = count;
+        s.epoch = e;
+        lk.lock();
+        head = (head + 1) % ring.size();
+        ++filled;
+        lk.unlock();
+        cv_consume.notify_one();
+      }
+    }
+  }
+};
+
+std::mutex g_streamers_mu;
+std::map<int64_t, std::unique_ptr<Streamer>> g_streamers;
+int64_t g_next_handle = 1;
+
+}  // namespace
+
+extern "C" {
+
+// Create a streamer over caller-owned row-major float32 arrays. `depth` is
+// the prefetch ring size (>=1). Returns a positive handle, or a negative
+// error code.
+int64_t streamer_create(const float *x, const float *y, int64_t n,
+                        int64_t xdim, int64_t ydim, int64_t batch,
+                        uint64_t seed, int depth, int drop_last) {
+  if (!x || !y || n <= 0 || xdim <= 0 || ydim <= 0 || batch <= 0 || depth < 1)
+    return kErrArgs;
+  auto s = std::make_unique<Streamer>();
+  s->x = x;
+  s->y = y;
+  s->n = n;
+  s->xdim = xdim;
+  s->ydim = ydim;
+  s->batch = batch < n ? batch : n;
+  s->seed = seed;
+  s->drop_last = drop_last != 0;
+  s->ring.resize(static_cast<size_t>(depth));
+  for (auto &slot : s->ring) {
+    slot.xb.resize(static_cast<size_t>(s->batch * xdim));
+    slot.yb.resize(static_cast<size_t>(s->batch * ydim));
+  }
+  Streamer *raw = s.get();
+  raw->worker = std::thread([raw] { raw->run(); });
+  std::lock_guard<std::mutex> lk(g_streamers_mu);
+  const int64_t h = g_next_handle++;
+  g_streamers[h] = std::move(s);
+  return h;
+}
+
+// Blocking pop of the next prefetched batch into caller buffers sized
+// (batch, xdim) / (batch, ydim). Writes the actual sample count (< batch
+// only for a trailing partial batch) and the source epoch index.
+int streamer_next(int64_t handle, float *xout, float *yout, int64_t *count,
+                  int64_t *epoch) {
+  Streamer *s;
+  {
+    std::lock_guard<std::mutex> lk(g_streamers_mu);
+    auto it = g_streamers.find(handle);
+    if (it == g_streamers.end()) return kErrArgs;
+    s = it->second.get();
+  }
+  std::unique_lock<std::mutex> lk(s->mu);
+  s->cv_consume.wait(lk, [&] { return s->stop || s->filled > 0; });
+  if (s->stop) return kErrArgs;
+  Streamer::Slot &slot = s->ring[s->tail];
+  lk.unlock();
+  std::memcpy(xout, slot.xb.data(), sizeof(float) * slot.count * s->xdim);
+  std::memcpy(yout, slot.yb.data(), sizeof(float) * slot.count * s->ydim);
+  *count = slot.count;
+  *epoch = slot.epoch;
+  lk.lock();
+  s->tail = (s->tail + 1) % s->ring.size();
+  --s->filled;
+  lk.unlock();
+  s->cv_produce.notify_one();
+  return 0;
+}
+
+int streamer_destroy(int64_t handle) {
+  std::lock_guard<std::mutex> lk(g_streamers_mu);
+  return g_streamers.erase(handle) == 1 ? 0 : kErrArgs;
 }
 
 }  // extern "C"

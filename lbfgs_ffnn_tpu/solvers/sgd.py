@@ -170,3 +170,69 @@ import functools  # noqa: E402
 @functools.lru_cache(maxsize=256)
 def cached_jit_solve_sgd(problem, opts, N):
     return jax.jit(_build(problem, opts, N))
+
+
+# ---------------------------------------------------------------------------
+# Streaming driver: host-fed minibatches from the native prefetch pipeline
+# ---------------------------------------------------------------------------
+
+
+def sgd_streaming(
+    problem: BatchProblem,
+    w0: jax.Array,
+    streamer,
+    opts: SGDOptions | None = None,
+    steps_per_epoch: int | None = None,
+) -> SolveResult:
+    """Minibatch SGD fed by a :class:`runtime.streamer.BatchStreamer`.
+
+    The device-resident ``sgd`` above keeps the whole dataset in HBM and
+    compiles the full run into one program — the fastest path and the
+    reference-parity one. This driver instead pulls host-staged batches from
+    the native prefetch thread (shuffle + gather overlap the previous step's
+    device work) and runs one jitted update per batch: the configuration for
+    datasets that should not (or cannot) live in HBM whole.
+
+    Stops after ``opts.epochs`` epochs of the stream. Loss history records
+    the per-batch loss at each epoch's final step (full-dataset evaluation
+    is the caller's choice — the data may not fit on device).
+    """
+    opts = opts or SGDOptions()
+
+    @jax.jit
+    def step(w, v, lr, xb, yb, mask):
+        loss, g = jax.value_and_grad(problem.fun_masked)(w, xb, yb, mask)
+        v_new = opts.momentum * v - lr * g
+        return w + v_new, v_new, loss
+
+    w = jnp.asarray(w0)
+    v = jnp.zeros_like(w)
+    lr = jnp.asarray(opts.step_size, dtype=w.dtype)
+    b = streamer.batch_size
+    loss_h = jnp.full((opts.epochs,), jnp.nan, dtype=w.dtype)
+    last_loss = jnp.asarray(jnp.nan, dtype=w.dtype)
+    epoch_steps = 0
+    epochs_done = 0
+    while epochs_done < opts.epochs:
+        xb, yb, count, epoch = streamer.next()
+        if epoch >= opts.epochs:
+            break
+        mask = (jnp.arange(b) < count).astype(w.dtype)
+        w, v, last_loss = step(w, v, lr, jnp.asarray(xb), jnp.asarray(yb), mask)
+        epoch_steps += 1
+        # epoch boundary: the streamer labels each batch with its epoch
+        nxt_is_new_epoch = (epoch_steps * b >= streamer.n) if streamer.drop_last \
+            else (epoch_steps * b >= streamer.n or count < b)
+        if nxt_is_new_epoch:
+            loss_h = loss_h.at[epochs_done].set(last_loss)
+            epochs_done += 1
+            epoch_steps = 0
+            if opts.lr_decay_step > 0 and epochs_done % opts.lr_decay_step == 0:
+                lr = lr * opts.lr_decay
+    gnorm = jnp.linalg.norm(problem.grad_masked(
+        w, jnp.asarray(xb), jnp.asarray(yb), mask))
+    return SolveResult(
+        x=w, n_iters=jnp.int32(epochs_done), converged=jnp.array(False),
+        final_loss=last_loss, final_gnorm=gnorm,
+        loss_history=loss_h, gnorm_history=jnp.full_like(loss_h, jnp.nan),
+    )

@@ -1,0 +1,90 @@
+"""Native prefetching batch streamer + streaming SGD driver tests."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbfgs_ffnn_tpu.runtime import get_lib
+from lbfgs_ffnn_tpu.runtime.streamer import BatchStreamer
+
+
+def _dataset(n=37, xdim=5):
+    # x row i = i (broadcast), y row i = [i] — so gathered batches reveal
+    # exactly which source rows they came from.
+    x = np.tile(np.arange(n, dtype=np.float32)[:, None], (1, xdim))
+    y = np.arange(n, dtype=np.float32)[:, None]
+    return x, y
+
+
+def _epoch_ids(st, n, b):
+    """Pull one full epoch; return the source ids in stream order."""
+    ids = []
+    while len(ids) < n:
+        xb, yb, count, epoch = st.next()
+        assert count <= b
+        np.testing.assert_array_equal(xb[:count, 0], yb[:count, 0])
+        ids.extend(int(v) for v in yb[:count, 0])
+    return ids
+
+
+@pytest.mark.parametrize("force_fallback", [False, True])
+def test_streamer_epoch_is_permutation(force_fallback):
+    n, b = 37, 8
+    x, y = _dataset(n)
+    with BatchStreamer(x, y, b, seed=7, force_fallback=force_fallback) as st:
+        if not force_fallback and not st.native:
+            pytest.skip("native runtime unavailable")
+        ids0 = _epoch_ids(st, n, b)
+        ids1 = _epoch_ids(st, n, b)
+    assert sorted(ids0) == list(range(n))
+    assert sorted(ids1) == list(range(n))
+    assert ids0 != ids1  # fresh permutation per epoch (seed folded with epoch)
+
+
+@pytest.mark.parametrize("force_fallback", [False, True])
+def test_streamer_deterministic_under_seed(force_fallback):
+    n, b = 21, 4
+    x, y = _dataset(n)
+    runs = []
+    for _ in range(2):
+        with BatchStreamer(x, y, b, seed=99, force_fallback=force_fallback) as st:
+            if not force_fallback and not st.native:
+                pytest.skip("native runtime unavailable")
+            runs.append(_epoch_ids(st, n, b))
+    assert runs[0] == runs[1]
+
+
+def test_streamer_trailing_batch_and_drop_last():
+    n, b = 10, 4
+    x, y = _dataset(n)
+    with BatchStreamer(x, y, b, seed=1) as st:
+        if not st.native:
+            pytest.skip("native runtime unavailable")
+        counts = [st.next()[2] for _ in range(3)]
+    assert counts == [4, 4, 2]
+    with BatchStreamer(x, y, b, seed=1, drop_last=True) as st:
+        seen = [st.next() for _ in range(4)]
+    assert all(c == 4 for _, _, c, _ in seen)
+    assert [e for *_, e in seen] == [0, 0, 1, 1]  # epoch advances early
+
+
+def test_sgd_streaming_trains():
+    from lbfgs_ffnn_tpu.solvers import SGDOptions
+    from lbfgs_ffnn_tpu.solvers.sgd import sgd_streaming
+    from lbfgs_ffnn_tpu.types import make_batch_problem
+
+    rng = np.random.default_rng(0)
+    n, d = 64, 3
+    w_true = np.array([1.0, -2.0, 0.5], np.float32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    y = (x @ w_true)[:, None].astype(np.float32)
+
+    prob = make_batch_problem(
+        lambda w, xb, yb: 0.5 * (xb @ w - yb[:, 0]) ** 2
+    )
+    w0 = jnp.zeros(d)
+    with BatchStreamer(x, y, batch_size=16, seed=3) as st:
+        res = sgd_streaming(prob, w0, st, SGDOptions(epochs=60, step_size=0.1))
+    assert int(res.n_iters) == 60
+    np.testing.assert_allclose(np.asarray(res.x), w_true, atol=0.05)
+    assert np.isfinite(res.loss_history[:60]).all()
