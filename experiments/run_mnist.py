@@ -31,7 +31,10 @@ parser.add_argument("--iters", type=int, default=1000)
 parser.add_argument("--dataset", choices=["mnist", "fashion"], default="mnist")
 parser.add_argument("--deep", action="store_true",
                     help="784-256-128-64-10 (reference main_gpu_deep.cpp)")
-parser.add_argument("--pallas", action="store_true", help="fused Pallas two-loop")
+parser.add_argument("--pallas", action="store_true",
+                    help="force the fused Pallas two-loop (default: auto — on for TPU)")
+parser.add_argument("--xla-two-loop", action="store_true",
+                    help="force the in-program XLA two-loop")
 args = parser.parse_args()
 
 from lbfgs_ffnn_tpu.data.datasets import load_fashion_mnist, load_mnist  # noqa: E402
@@ -53,7 +56,12 @@ else:
     launcher.add_layer(784, 128, "relu").add_layer(128, 10, "linear")
 launcher.build_network().set_data(ds)
 
-two_loop = "pallas" if args.pallas else "xla"
+if args.xla_two_loop:
+    two_loop = "xla"
+elif args.pallas:
+    two_loop = "pallas"
+else:
+    two_loop = "pallas" if jax.default_backend() == "tpu" else "xla"
 
 if args.style == "cpu":
     runs = [
