@@ -1,6 +1,8 @@
 """Plot training histories: loss-vs-time, loss-vs-iteration and
 gradient-norm panels (log-y) from every ``*_history.csv`` in the working
-directory — capability mirror of the reference's scripts/plot_results.py.
+directory, plus accuracy panels when any CSV carries TrainAcc/TestAcc
+columns — capability mirror of the reference's scripts/plot_results.py
+(accuracy panels: reference scripts/plot_results.py:107-127).
 
 Usage: python scripts/plot_results.py [directory] [-o out.png]
 """
@@ -37,11 +39,19 @@ def main():
         print(f"no *_history.csv under {args.directory}", file=sys.stderr)
         return 1
 
-    fig, axes = plt.subplots(1, 3, figsize=(18, 5))
+    loaded = []
+    acc_cols = set()
     for path in files:
         name = os.path.basename(path).replace("_history.csv", "")
-        data = np.genfromtxt(path, delimiter=",", names=True)
-        data = np.atleast_1d(data)
+        data = np.atleast_1d(np.genfromtxt(path, delimiter=",", names=True))
+        loaded.append((name, data))
+        acc_cols.update(c for c in ("TrainAcc", "TestAcc")
+                        if data.dtype.names and c in data.dtype.names)
+
+    n_panels = 3 + len(acc_cols)
+    fig, axes = plt.subplots(1, n_panels, figsize=(6 * n_panels, 5))
+    acc_axes = dict(zip(sorted(acc_cols), axes[3:]))
+    for name, data in loaded:
         it = data["Iteration"]
         loss = data["Loss"]
         gnorm = data["GradNorm"]
@@ -49,6 +59,9 @@ def main():
         axes[0].plot(t_s, loss, label=name)
         axes[1].plot(it, loss, label=name)
         axes[2].plot(it, gnorm, label=name)
+        for col, ax in acc_axes.items():
+            if data.dtype.names and col in data.dtype.names:
+                ax.plot(it, data[col], label=name)
 
     axes[0].set_xlabel("time [s]")
     axes[0].set_ylabel("loss")
@@ -56,8 +69,12 @@ def main():
     axes[1].set_ylabel("loss")
     axes[2].set_xlabel("iteration")
     axes[2].set_ylabel("||grad||")
-    for ax in axes:
+    for ax in axes[:3]:
         ax.set_yscale("log")
+    for col, ax in acc_axes.items():
+        ax.set_xlabel("iteration")
+        ax.set_ylabel(f"{col} [%]")
+    for ax in axes:
         ax.grid(True, alpha=0.3)
         ax.legend(fontsize=8)
     fig.tight_layout()
