@@ -54,9 +54,29 @@ def distributed_init(
     Call once per host before any jax computation when running a multi-host
     pod slice; a no-op for single-process runs. Arguments default to the
     standard cluster-environment autodetection.
+
+    On the CPU backend, cross-process collectives need an explicit
+    implementation — without it each process sees only its own devices and
+    ``jax.process_count()`` stays 1. Gloo is enabled here automatically, so
+    N plain CPU processes federate into one global device set: the
+    "multi-host pod without a pod" test rig (see
+    tests/test_multiprocess.py, which drives a real 2-process sharded
+    gradient reduction through this entry point).
     """
     if num_processes is not None and num_processes <= 1:
         return
+    # Inspect the configured platform WITHOUT touching the backend —
+    # jax.default_backend() would initialize it, which must not happen
+    # before jax.distributed.initialize.
+    import os
+
+    platforms = str(getattr(jax.config, "jax_platforms", None) or
+                    os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in platforms:
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # older jax: single-process CPU still works
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
         num_processes=num_processes,
