@@ -56,6 +56,57 @@ import numpy as np  # noqa: E402 (used above via closure)
 """
 
 
+_SOLVER_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+
+sys.path.insert(0, os.getcwd())
+from lbfgs_ffnn_tpu.parallel import distributed_init, make_mesh
+
+distributed_init(coordinator_address=f"localhost:{port}",
+                 num_processes=n, process_id=pid)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import multihost_utils
+from jax.sharding import PartitionSpec as P
+
+from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+from lbfgs_ffnn_tpu.solvers import LBFGSOptions, lbfgs
+
+spec = mlp_spec([6, 8, 3], ["relu", "linear"])
+prob = mlp_problem(spec)
+w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+
+# Deterministic global dataset; each process holds its half.
+rng = np.random.default_rng(42)
+X = rng.normal(size=(32, 6))
+Y = np.eye(3)[np.arange(32) % 3].astype(np.float64)
+x_local = jnp.asarray(X[pid * 16:(pid + 1) * 16])
+y_local = jnp.asarray(Y[pid * 16:(pid + 1) * 16])
+
+mesh = make_mesh(axis_name="data")
+gx = multihost_utils.host_local_array_to_global_array(x_local, mesh, P("data"))
+gy = multihost_utils.host_local_array_to_global_array(y_local, mesh, P("data"))
+
+# The solver runs UNCHANGED on process-sharded data: GSPMD inserts the
+# cross-process gradient reduction.
+res = lbfgs(prob, w0, aux=(gx, gy),
+            opts=LBFGSOptions(max_iters=20, tol=1e-12, m=5, line_search="armijo"))
+# res.x is replicated over the mesh; each process reads its local replica.
+x_local_replica = np.asarray(jax.device_get(res.x.addressable_data(0)))
+print("RESULT %d %d %.12e" % (pid, int(res.n_iters), float(res.final_loss)),
+      flush=True)
+print("XSUM %d %.12e" % (pid, float(np.abs(x_local_replica).sum())), flush=True)
+"""
+
+
 def _free_port() -> int:
     s = socket.socket()
     s.bind(("localhost", 0))
@@ -98,3 +149,53 @@ def test_two_process_distributed_gradient(tmp_path):
     r = x @ w - y
     oracle = (x * r[:, None]).mean(axis=0)
     np.testing.assert_allclose(grads[0], oracle, rtol=1e-5)
+
+
+def test_two_process_lbfgs_matches_single_process(tmp_path):
+    """The unchanged L-BFGS solver over process-sharded data converges to the
+    same result as a single-process run on the concatenated dataset."""
+    worker = tmp_path / "solver_worker.py"
+    worker.write_text(_SOLVER_WORKER)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            cwd=str(Path(__file__).resolve().parent.parent),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    results, xsums = {}, {}
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out[-2000:]}\n{err[-4000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, iters, loss = line.split()
+                results[int(pid)] = (int(iters), float(loss))
+            elif line.startswith("XSUM"):
+                _, pid, s = line.split()
+                xsums[int(pid)] = float(s)
+    assert set(results) == {0, 1}
+    assert results[0] == results[1]
+    np.testing.assert_allclose(xsums[0], xsums[1], rtol=1e-12)
+
+    # Single-process oracle on the concatenated data (same seeds/config).
+    import os
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+    from lbfgs_ffnn_tpu.solvers import LBFGSOptions, lbfgs
+
+    spec = mlp_spec([6, 8, 3], ["relu", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+    rng = np.random.default_rng(42)
+    X = jnp.asarray(rng.normal(size=(32, 6)))
+    Y = jnp.asarray(np.eye(3)[np.arange(32) % 3])
+    res = lbfgs(prob, w0, aux=(X, Y),
+                opts=LBFGSOptions(max_iters=20, tol=1e-12, m=5,
+                                  line_search="armijo"))
+    assert int(res.n_iters) == results[0][0]
+    np.testing.assert_allclose(float(res.final_loss), results[0][1], rtol=1e-9)
