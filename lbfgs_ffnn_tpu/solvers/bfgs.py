@@ -48,6 +48,8 @@ class _State(NamedTuple):
     B: jax.Array
     loss_h: jax.Array
     gnorm_h: jax.Array
+    nf: jax.Array
+    ng: jax.Array
 
 
 def _solve_linear(B, rhs, opts: BFGSOptions):
@@ -74,6 +76,7 @@ def _build(problem: Problem, opts: BFGSOptions):
         s0 = _State(
             k=jnp.int32(0), x=x0, f=f0, g=g0, gnorm=jnp.linalg.norm(g0),
             B=B0, loss_h=loss_h, gnorm_h=gnorm_h,
+            nf=jnp.int32(1), ng=jnp.int32(1),
         )
 
         def cond(s: _State):
@@ -97,6 +100,11 @@ def _build(problem: Problem, opts: BFGSOptions):
                 return problem.value_and_grad(s.x + ls.alpha * p, aux)
 
             f_new, g_new = lax.cond(ls.evaluated, use_ls, reeval, None)
+            if opts.ls_value_only:
+                nf_add, ng_add = ls.n_trials + 1, jnp.int32(1)
+            else:
+                one_more = jnp.where(ls.evaluated, 0, 1).astype(jnp.int32)
+                nf_add = ng_add = ls.n_trials + one_more
             step = ls.alpha * p
             x_new = s.x + step
             y = g_new - s.g
@@ -111,10 +119,12 @@ def _build(problem: Problem, opts: BFGSOptions):
             return _State(
                 k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
                 B=B_new, loss_h=loss_h, gnorm_h=gnorm_h,
+                nf=s.nf + nf_add, ng=s.ng + ng_add,
             )
 
         s = lax.while_loop(cond, body, s0)
-        return finalize(s.x, s.k, s.gnorm <= opts.tol, s.f, s.gnorm, s.loss_h, s.gnorm_h)
+        return finalize(s.x, s.k, s.gnorm <= opts.tol, s.f, s.gnorm,
+                        s.loss_h, s.gnorm_h, n_fevals=s.nf, n_gevals=s.ng)
 
     return solve
 

@@ -47,6 +47,8 @@ class _State(NamedTuple):
     v: jax.Array  # momentum velocity
     loss_h: jax.Array
     gnorm_h: jax.Array
+    nf: jax.Array
+    ng: jax.Array
 
 
 def _build(problem: Problem, opts: GDOptions):
@@ -62,6 +64,8 @@ def _build(problem: Problem, opts: GDOptions):
             v=jnp.zeros_like(x0),
             loss_h=loss_h,
             gnorm_h=gnorm_h,
+            nf=jnp.int32(1),
+            ng=jnp.int32(1),
         )
 
         def cond(s: _State):
@@ -88,6 +92,7 @@ def _build(problem: Problem, opts: GDOptions):
                 x_new = s.x - alpha * s.g
             if ls is None:
                 f_new, g_new = problem.value_and_grad(x_new, aux)
+                nf_add = ng_add = jnp.int32(1)
             else:
                 # Reuse the search's evaluation at the accepted point; only
                 # an exhausted (unevaluated) search forces a fresh pass.
@@ -97,15 +102,22 @@ def _build(problem: Problem, opts: GDOptions):
                     lambda _: problem.value_and_grad(x_new, aux),
                     None,
                 )
+                if opts.ls_value_only:
+                    nf_add, ng_add = ls.n_trials + 1, jnp.int32(1)
+                else:
+                    one_more = jnp.where(ls.evaluated, 0, 1).astype(jnp.int32)
+                    nf_add = ng_add = ls.n_trials + one_more
             gnorm_new = jnp.linalg.norm(g_new)
             loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
             return _State(
                 k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
                 v=v, loss_h=loss_h, gnorm_h=gnorm_h,
+                nf=s.nf + nf_add, ng=s.ng + ng_add,
             )
 
         s = lax.while_loop(cond, body, s0)
-        return finalize(s.x, s.k, s.gnorm < opts.tol, s.f, s.gnorm, s.loss_h, s.gnorm_h)
+        return finalize(s.x, s.k, s.gnorm < opts.tol, s.f, s.gnorm,
+                        s.loss_h, s.gnorm_h, n_fevals=s.nf, n_gevals=s.ng)
 
     return solve
 

@@ -203,6 +203,20 @@ def test_eval_counters():
     assert int(res_w.n_fevals) == 1 + k
     assert int(res_w.n_gevals) == 1 + k
 
+    # Same exact accounting in GD (+LS), BFGS and Newton on the quadratic.
+    from lbfgs_ffnn_tpu.solvers import (
+        BFGSOptions, GDOptions, NewtonOptions, bfgs, gradient_descent, newton,
+    )
+
+    for res in (
+        gradient_descent(prob, x0, opts=GDOptions(max_iters=10, tol=0.0)),
+        bfgs(prob, x0, opts=BFGSOptions(max_iters=10, tol=0.0)),
+        newton(prob, x0, opts=NewtonOptions(max_iters=10, tol=0.0)),
+    ):
+        k = int(res.n_iters)
+        assert int(res.n_fevals) == 1 + k, type(res)
+        assert int(res.n_gevals) == 1 + k
+
 
 def test_armijo_failure_keeps_last_trial():
     """If no trial passes (max_iters tiny on a hard function), result carries
