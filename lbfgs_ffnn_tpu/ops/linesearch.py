@@ -147,6 +147,90 @@ def wolfe_line_search(
                             f_new=f_new, g_new=g_new, n_trials=c.i)
 
 
+def armijo_batched_line_search(
+    value_and_grad: Callable[..., tuple[jax.Array, jax.Array]],
+    x: jax.Array,
+    p: jax.Array,
+    f0: jax.Array,
+    dg0: jax.Array,
+    aux: Any = (),
+    *,
+    value: Callable[..., jax.Array],
+    c1: float = 1e-4,
+    shrink: float = 0.5,
+    max_iters: int = 20,
+    alpha0: jax.Array | float = 1.0,
+    spec_k: int = 4,
+) -> LineSearchResult:
+    """Speculative batched Armijo backtracking (TPU-only policy, no
+    reference counterpart).
+
+    Evaluates ``spec_k`` ladder candidates ``alpha0 * shrink**j`` per round
+    in ONE batched forward — ``vmap`` over stacked trial weight vectors
+    turns the per-candidate GEMMs into a single batched GEMM whose
+    activations amortize the input read (measured on v5e, MNIST 60k:
+    4 candidates cost 2.1x one forward instead of 4x). Accepts the largest
+    candidate satisfying Armijo — exactly the sequential pure-backtracking
+    (no interpolation) accept point, found in ``ceil/spec_k`` as many
+    dispatch rounds. On total failure keeps the last (smallest) evaluated
+    candidate with ``ok=False``, mirroring the sequential policy's failure
+    semantics. ``n_trials`` counts every speculated evaluation.
+
+    Measured on the MNIST 60k L-BFGS headline: neutral at spec_k=2, slower
+    at spec_k=4 — the sequential search's quadratic interpolation needs
+    fewer trials (~13.7/iter) than the pure ladder (~16/iter), cancelling
+    the batching discount. Retained for objectives where per-dispatch
+    latency dominates trial compute.
+    """
+    dtype = x.dtype
+    K = int(spec_k)
+    n_rounds = max(1, -(-max_iters // K))
+    alpha0 = jnp.asarray(alpha0, dtype=dtype)
+    ladder = shrink ** jnp.arange(K, dtype=dtype)  # within-round factors
+
+    batched_value = jax.vmap(lambda a: value(x + a * p, aux))
+
+    class _C(NamedTuple):
+        r: jax.Array
+        ok: jax.Array
+        alpha: jax.Array   # accepted (or last-evaluated) alpha
+        f_new: jax.Array
+        trials: jax.Array
+
+    c0 = _C(
+        r=jnp.int32(0),
+        ok=jnp.array(False),
+        alpha=alpha0,
+        f_new=f0,
+        trials=jnp.int32(0),
+    )
+
+    def cond(c: _C):
+        return (c.r < n_rounds) & ~c.ok
+
+    def body(c: _C) -> _C:
+        alphas = alpha0 * (shrink ** (c.r * K).astype(dtype)) * ladder
+        fs = batched_value(alphas)
+        passed = fs <= f0 + c1 * alphas * dg0
+        any_pass = jnp.any(passed)
+        first = jnp.argmax(passed)  # alphas descend, so first pass = largest
+        idx = jnp.where(any_pass, first, K - 1)
+        return _C(
+            r=c.r + 1,
+            ok=any_pass,
+            alpha=alphas[idx],
+            f_new=fs[idx],
+            trials=c.trials + jnp.int32(K),  # every speculated candidate ran
+        )
+
+    c = lax.while_loop(cond, body, c0)
+    f_new, g_new = value_and_grad(x + c.alpha * p, aux)
+    return LineSearchResult(
+        alpha=c.alpha, ok=c.ok, evaluated=jnp.array(True),
+        f_new=f_new, g_new=g_new, n_trials=c.trials,
+    )
+
+
 def armijo_quad_line_search(
     value_and_grad: Callable[..., tuple[jax.Array, jax.Array]],
     x: jax.Array,

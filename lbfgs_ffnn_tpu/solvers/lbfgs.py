@@ -34,7 +34,11 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from lbfgs_ffnn_tpu.ops.linesearch import armijo_quad_line_search, wolfe_line_search
+from lbfgs_ffnn_tpu.ops.linesearch import (
+    armijo_batched_line_search,
+    armijo_quad_line_search,
+    wolfe_line_search,
+)
 from lbfgs_ffnn_tpu.ops.two_loop import RingState, empty_history_state, ring_push, ring_reset, two_loop
 from lbfgs_ffnn_tpu.solvers.common import cached_jit_solve, finalize, init_history, record
 from lbfgs_ffnn_tpu.types import Problem, SolveResult
@@ -45,6 +49,9 @@ class LBFGSOptions(NamedTuple):
     tol: float = 1e-10
     m: int = 16
     line_search: str = "wolfe"  # "wolfe" (CPU-ref) | "armijo" (CUDA-ref)
+                                # | "armijo_batched" (TPU-only: spec_k ladder
+                                # candidates per batched forward; pure
+                                # backtracking, no interpolation)
     ls_max_iters: int = 50
     c1: float = 1e-4
     c2: float = 0.9
@@ -55,6 +62,7 @@ class LBFGSOptions(NamedTuple):
                                     # (robust for float32; the reference's
                                     # absolute 1e-10 gate is scale-sensitive)
     two_loop_impl: str = "xla"  # "xla" | "pallas"
+    ls_spec_k: int = 4  # armijo_batched: candidates per batched forward
     ls_value_only: bool | None = None
     # Lean trials: armijo evaluates loss-only forwards; wolfe evaluates
     # (loss, g·p) via one forward-mode jvp; either way a single
@@ -108,7 +116,7 @@ def _not_done(s: _State, opts: LBFGSOptions):
 
 
 def _make_body(problem: Problem, opts: LBFGSOptions):
-    if opts.line_search not in ("wolfe", "armijo"):
+    if opts.line_search not in ("wolfe", "armijo", "armijo_batched"):
         raise ValueError(f"unknown line_search {opts.line_search!r}")
 
     lean = (
@@ -122,7 +130,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
         hist = s.hist
         dg0 = jnp.vdot(s.g, p)
 
-        if opts.line_search == "armijo":
+        if opts.line_search in ("armijo", "armijo_batched"):
             # Steepest-descent fallback + history reset on non-descent p
             # (reference: src/cuda/lbfgs.cuh:97-104).
             nondescent = dg0 >= 0
@@ -135,16 +143,25 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                 jnp.minimum(jnp.ones_like(s.gnorm), 1.0 / s.gnorm),
                 jnp.ones_like(s.gnorm),
             )
-            ls = armijo_quad_line_search(
-                problem.value_and_grad, s.x, p, s.f, dg0, aux,
-                c1=opts.c1, shrink=opts.ls_shrink,
-                max_iters=opts.ls_max_iters, alpha0=alpha0,
-                value=problem.fun if lean else None,
-            )
+            if opts.line_search == "armijo_batched":
+                ls = armijo_batched_line_search(
+                    problem.value_and_grad, s.x, p, s.f, dg0, aux,
+                    value=problem.fun, c1=opts.c1, shrink=opts.ls_shrink,
+                    max_iters=opts.ls_max_iters, alpha0=alpha0,
+                    spec_k=opts.ls_spec_k,
+                )
+            else:
+                ls = armijo_quad_line_search(
+                    problem.value_and_grad, s.x, p, s.f, dg0, aux,
+                    c1=opts.c1, shrink=opts.ls_shrink,
+                    max_iters=opts.ls_max_iters, alpha0=alpha0,
+                    value=problem.fun if lean else None,
+                )
             alpha, f_new, g_new = ls.alpha, ls.f_new, ls.g_new
             # History reset on line-search failure (cuda/lbfgs.cuh:147).
             hist = ring_reset(hist, ~ls.ok)
-            if lean:  # value-only trials + one value_and_grad
+            if lean or opts.line_search == "armijo_batched":
+                # value-only trials + one value_and_grad
                 nf_add, ng_add = ls.n_trials + 1, jnp.int32(1)
             else:     # each trial is a fused value_and_grad
                 nf_add, ng_add = ls.n_trials, ls.n_trials

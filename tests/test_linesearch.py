@@ -180,6 +180,71 @@ def test_armijo_value_only_failure_keeps_last_trial():
     np.testing.assert_allclose(np.asarray(res.g_new), np.asarray(g_chk))
 
 
+def test_armijo_batched_matches_sequential_backtracking():
+    """The batched ladder must accept exactly the alpha a sequential pure
+    backtracking loop (no interpolation) would, for several spec_k values
+    and both accept-fast and backtrack-heavy cases."""
+    from lbfgs_ffnn_tpu.ops.linesearch import armijo_batched_line_search
+
+    def val(w, aux=()):
+        return jnp.sum(w**4)
+
+    def vag(w, aux=()):
+        return val(w), 4.0 * w**3
+
+    c1, shrink, max_iters = 1e-4, 0.5, 20
+    for x0 in (np.array([2.0]), np.array([0.1, -0.2]), np.array([5.0, 5.0])):
+        xj = jnp.asarray(x0)
+        f0, g0 = vag(xj)
+        p = -g0
+        dg0 = float(jnp.vdot(g0, p))
+
+        # numpy mirror of sequential pure backtracking
+        a = 1.0
+        ok_ref = False
+        for _ in range(max_iters):
+            if float(val(xj + a * p)) <= float(f0) + c1 * a * dg0:
+                ok_ref = True
+                break
+            a *= shrink
+
+        for k in (1, 3, 4, 7):
+            res = armijo_batched_line_search(
+                vag, xj, p, f0, jnp.vdot(g0, p), value=val,
+                c1=c1, shrink=shrink, max_iters=max_iters, spec_k=k,
+            )
+            assert bool(res.ok) == ok_ref, (x0, k)
+            if ok_ref:
+                np.testing.assert_allclose(float(res.alpha), a, rtol=1e-6)
+            f_chk, g_chk = vag(xj + res.alpha * p)
+            np.testing.assert_allclose(float(res.f_new), float(f_chk))
+            np.testing.assert_allclose(np.asarray(res.g_new), np.asarray(g_chk))
+
+
+def test_lbfgs_armijo_batched_trains():
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+    from lbfgs_ffnn_tpu.solvers import LBFGSOptions, lbfgs
+
+    spec = mlp_spec([6, 8, 3], ["relu", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 6), dtype=jnp.float64)
+    y = jax.nn.one_hot(jnp.arange(32) % 3, 3, dtype=jnp.float64)
+
+    res_b = lbfgs(prob, w0, aux=(x, y),
+                  opts=LBFGSOptions(max_iters=40, tol=1e-12, m=5,
+                                    line_search="armijo_batched", ls_spec_k=4))
+    res_a = lbfgs(prob, w0, aux=(x, y),
+                  opts=LBFGSOptions(max_iters=40, tol=1e-12, m=5,
+                                    line_search="armijo"))
+    # converges to a comparable loss (policies differ, trajectories may too)
+    assert float(res_b.final_loss) < 0.1
+    assert float(res_b.final_loss) < 3.0 * float(res_a.final_loss) + 1e-6
+    # counters present and coherent: >= one candidate + 1 v&g per iteration
+    assert int(res_b.n_fevals) >= int(res_b.n_iters) * 2
+    assert int(res_b.n_gevals) == int(res_b.n_iters) + 1
+
+
 def test_eval_counters():
     """SolveResult.n_fevals/n_gevals count objective and gradient passes.
     On a well-scaled quadratic every search accepts its first trial, so the
