@@ -302,8 +302,12 @@ def lbfgs_chunked(
     jax.block_until_ready(state.x)
     # Warm-up compile on a perturbed copy: remote-TPU runtimes can serve a
     # repeat of an *identical* dispatch from cache, which would zero out the
-    # first measured chunk.
-    warm = init(x0 * (1.0 + 1e-6) + 1e-7, aux)
+    # first measured chunk. On resume (x0 may be None) perturb the restored
+    # state instead.
+    if resume_state is not None:
+        warm = state._replace(x=state.x * (1.0 + 1e-6) + 1e-7)
+    else:
+        warm = init(x0 * (1.0 + 1e-6) + 1e-7, aux)
     jax.block_until_ready(run_chunk(warm, aux).x)
 
     time_ms = jnp.full((opts.max_iters,), jnp.nan)

@@ -90,7 +90,9 @@ def test_lbfgs_chunked_checkpoint_resume(tmp_path):
 
     restored = restore_checkpoint(tmp_path / "mid", saved["state"])
     assert int(restored.k) == 20
-    res_resumed, _ = lbfgs_chunked(prob, x0, opts=opts, chunk=10, resume_state=restored)
+    # x0=None: the resumed run must not need the original initial point (the
+    # realistic kill-and-resume case — only the checkpoint survives).
+    res_resumed, _ = lbfgs_chunked(prob, None, opts=opts, chunk=10, resume_state=restored)
 
     np.testing.assert_allclose(
         np.asarray(res_resumed.x), np.asarray(res_full.x), rtol=1e-12
