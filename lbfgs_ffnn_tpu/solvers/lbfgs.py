@@ -275,7 +275,7 @@ def _cached_chunk_fns(problem, opts, chunk: int):
 
 def lbfgs_chunked(
     problem: Problem,
-    x0: jax.Array,
+    x0: Optional[jax.Array],
     aux: Any = (),
     opts: LBFGSOptions | None = None,
     chunk: int = 10,
@@ -293,9 +293,13 @@ def lbfgs_chunked(
     ``resume_state`` continues from a previously checkpointed chunk state
     (the full carry: iterate, gradient, curvature ring, histories), so a
     long solve can be killed and resumed with its quasi-Newton memory intact
-    — a capability the reference lacks entirely (SURVEY.md §5).
+    — a capability the reference lacks entirely (SURVEY.md §5). On resume
+    ``x0`` may be ``None`` (only the checkpoint is needed); time_ms entries
+    for the pre-kill iterations stay NaN — they were not measured here.
     """
     opts = opts or LBFGSOptions()
+    if resume_state is None and x0 is None:
+        raise ValueError("x0 is required unless resume_state is given")
     init, run_chunk = _cached_chunk_fns(problem, opts, chunk)
 
     state = resume_state if resume_state is not None else init(x0, aux)
@@ -303,16 +307,17 @@ def lbfgs_chunked(
     # Warm-up compile on a perturbed copy: remote-TPU runtimes can serve a
     # repeat of an *identical* dispatch from cache, which would zero out the
     # first measured chunk. On resume (x0 may be None) perturb the restored
-    # state instead.
+    # state instead. Sync by pulling a scalar — block_until_ready can return
+    # early through the axon tunnel (CLAUDE.md timing protocol).
     if resume_state is not None:
         warm = state._replace(x=state.x * (1.0 + 1e-6) + 1e-7)
     else:
         warm = init(x0 * (1.0 + 1e-6) + 1e-7, aux)
-    jax.block_until_ready(run_chunk(warm, aux).x)
+    _ = float(run_chunk(warm, aux).f)
 
     time_ms = jnp.full((opts.max_iters,), jnp.nan)
     elapsed = 0.0
-    k_prev = 0
+    k_prev = int(state.k)  # on resume: pre-kill iterations stay NaN
     t_total0 = time.perf_counter()
     while True:
         t0 = time.perf_counter()

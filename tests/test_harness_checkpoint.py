@@ -92,12 +92,16 @@ def test_lbfgs_chunked_checkpoint_resume(tmp_path):
     assert int(restored.k) == 20
     # x0=None: the resumed run must not need the original initial point (the
     # realistic kill-and-resume case — only the checkpoint survives).
-    res_resumed, _ = lbfgs_chunked(prob, None, opts=opts, chunk=10, resume_state=restored)
+    res_resumed, tms = lbfgs_chunked(prob, None, opts=opts, chunk=10, resume_state=restored)
 
     np.testing.assert_allclose(
         np.asarray(res_resumed.x), np.asarray(res_full.x), rtol=1e-12
     )
     assert int(res_resumed.n_iters) == int(res_full.n_iters)
+    # pre-kill iterations were not timed by this process: NaN, not fabricated
+    tms = np.asarray(tms)
+    assert np.isnan(tms[:20]).all()
+    assert np.isfinite(tms[20:int(res_resumed.n_iters)]).all()
 
 
 def test_checkpoint_restore_fills_new_fields(tmp_path):
