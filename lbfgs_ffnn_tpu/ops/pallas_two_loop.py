@@ -41,6 +41,14 @@ from lbfgs_ffnn_tpu.ops.two_loop import RingState, two_loop
 # 6 per-row VMEM buffers; keep total under ~12 MB of the ~16 MB VMEM.
 _VMEM_ROW_LIMIT = 512 * 1024  # f32 elements per row
 
+# When the whole (S, Y) history fits comfortably in VMEM, skip per-pair
+# streaming entirely: two bulk DMAs bring the stacked arrays on-chip and the
+# 2*count sequential stages run with zero DMA latency in the loop. For small
+# parameter counts (e.g. the 921-param Burgers PINN, 4 KB/row) the streaming
+# kernel is DMA-latency-bound (~2 us per stage for ~8 KB of payload), so
+# this path is the difference between ~400 us and ~tens of us at m=100.
+_VMEM_RESIDENT_LIMIT = 1 * 1024 * 1024  # f32 elements per stacked array
+
 
 def _kernel(meta_ref, rho_ref, v_ref, s_hbm, y_hbm, out_ref,
             q_ref, sbuf, ybuf, alphas_ref, scal_ref, s_sem, y_sem,
@@ -131,6 +139,61 @@ def _kernel(meta_ref, rho_ref, v_ref, s_hbm, y_hbm, out_ref,
     lax.fori_loop(0, count, fwd, 0)
 
 
+def _kernel_resident(meta_ref, rho_ref, v_ref, s_hbm, y_hbm, out_ref,
+                     q_ref, s_vmem, y_vmem, alphas_ref, scal_ref, sem,
+                     *, m: int, clamp_gamma: bool, gamma_min: float,
+                     gamma_max: float):
+    """Whole-history-resident variant: two bulk DMAs, then both passes run
+    entirely from VMEM (no per-pair DMA latency on the sequential path)."""
+    head = meta_ref[0]
+    count = meta_ref[1]
+
+    pltpu.make_async_copy(s_hbm, s_vmem, sem.at[0]).start()
+    pltpu.make_async_copy(y_hbm, y_vmem, sem.at[1]).start()
+    q_ref[:] = v_ref[:]
+    pltpu.make_async_copy(s_hbm, s_vmem, sem.at[0]).wait()
+    pltpu.make_async_copy(y_hbm, y_vmem, sem.at[1]).wait()
+
+    # ---- backward pass: newest -> oldest ----
+    def bwd(j, carry):
+        i = (head - 1 - j) % m
+        s_row = s_vmem[i]
+        y_row = y_vmem[i]
+
+        @pl.when(j == 0)
+        def _():
+            ys = jnp.sum(s_row * y_row)
+            yy = jnp.sum(y_row * y_row)
+            if clamp_gamma:
+                gamma = jnp.where(jnp.abs(yy) < 1e-12, 1.0, ys / jnp.where(yy == 0, 1.0, yy))
+                gamma = jnp.clip(gamma, gamma_min, gamma_max)
+            else:
+                gamma = jnp.where(yy > 0, ys / jnp.where(yy == 0, 1.0, yy), 1.0)
+            scal_ref[0] = gamma
+
+        a = rho_ref[i] * jnp.sum(s_row * q_ref[:])
+        alphas_ref[count - 1 - j] = a
+        q_ref[:] = q_ref[:] - a * y_row
+        return carry
+
+    lax.fori_loop(0, count, bwd, 0)
+
+    @pl.when(count == 0)
+    def _():
+        scal_ref[0] = jnp.float32(1.0)
+
+    out_ref[:] = scal_ref[0] * q_ref[:]
+
+    # ---- forward pass: oldest -> newest ----
+    def fwd(li, carry):
+        i = (head - count + li) % m
+        b = rho_ref[i] * jnp.sum(y_vmem[i] * out_ref[:])
+        out_ref[:] = out_ref[:] + (alphas_ref[li] - b) * s_vmem[i]
+        return carry
+
+    lax.fori_loop(0, count, fwd, 0)
+
+
 @functools.partial(
     jax.jit, static_argnames=("clamp_gamma", "gamma_min", "gamma_max", "interpret")
 )
@@ -145,22 +208,32 @@ def _two_loop_pallas_padded(
     Y3 = Y.reshape(m, rows, 128)
     meta = jnp.stack([head.astype(jnp.int32), count.astype(jnp.int32)])
 
-    kern = functools.partial(
-        _kernel, m=m, clamp_gamma=clamp_gamma,
-        gamma_min=gamma_min, gamma_max=gamma_max,
-    )
-    out = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((rows, 128), v_pad.dtype),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # meta (head, count)
-            pl.BlockSpec(memory_space=pltpu.SMEM),   # rho (m,)
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # v
-            pl.BlockSpec(memory_space=pl.ANY),    # S (stays off-chip)
-            pl.BlockSpec(memory_space=pl.ANY),    # Y
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # meta (head, count)
+        pl.BlockSpec(memory_space=pltpu.SMEM),   # rho (m,)
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # v
+        pl.BlockSpec(memory_space=pl.ANY),    # S (stays off-chip)
+        pl.BlockSpec(memory_space=pl.ANY),    # Y
+    ]
+    if m * n_pad <= _VMEM_RESIDENT_LIMIT:
+        kern = functools.partial(
+            _kernel_resident, m=m, clamp_gamma=clamp_gamma,
+            gamma_min=gamma_min, gamma_max=gamma_max,
+        )
+        scratch = [
+            pltpu.VMEM((rows, 128), v_pad.dtype),      # q
+            pltpu.VMEM((m, rows, 128), v_pad.dtype),   # whole S
+            pltpu.VMEM((m, rows, 128), v_pad.dtype),   # whole Y
+            pltpu.SMEM((m,), v_pad.dtype),             # alphas
+            pltpu.SMEM((1,), v_pad.dtype),             # gamma
+            pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kern = functools.partial(
+            _kernel, m=m, clamp_gamma=clamp_gamma,
+            gamma_min=gamma_min, gamma_max=gamma_max,
+        )
+        scratch = [
             pltpu.VMEM((rows, 128), v_pad.dtype),      # q
             pltpu.VMEM((2, rows, 128), v_pad.dtype),   # s double buffer
             pltpu.VMEM((2, rows, 128), v_pad.dtype),   # y double buffer
@@ -168,7 +241,13 @@ def _two_loop_pallas_padded(
             pltpu.SMEM((1,), v_pad.dtype),             # gamma
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
-        ],
+        ]
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((rows, 128), v_pad.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=False),
     )(meta, rho, v2, S3, Y3)

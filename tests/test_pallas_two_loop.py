@@ -70,3 +70,30 @@ def test_pallas_f64_falls_back_to_xla():
     v = jnp.asarray(np.random.default_rng(6).normal(size=n))
     r = two_loop_pallas(v, hist)
     np.testing.assert_allclose(np.asarray(r), np.asarray(two_loop(v, hist)))
+
+
+@pytest.mark.parametrize("m,k", [(6, 4), (6, 9)])
+def test_pallas_streaming_path_matches_f64_oracle(m, k):
+    """Force the double-buffered streaming kernel (m * n_pad above the
+    VMEM-resident limit) and check it against an f64 oracle; the small-n
+    tests above exercise the whole-history-resident variant.
+
+    At n=200k the f32 XLA implementation accumulates ~6e-5 abs error against
+    the f64 oracle while the kernel's two-level (rows, 128) reduction stays
+    at ~5e-7 — so the oracle, not the XLA f32 result, is the right referee
+    here."""
+    from lbfgs_ffnn_tpu.ops import pallas_two_loop as mod
+
+    n = 200_000  # m * n_pad = 6 * 200704 >> _VMEM_RESIDENT_LIMIT
+    assert m * ((n + 1023) // 1024) * 1024 > mod._VMEM_RESIDENT_LIMIT
+    hist = make_history(m, n, k, seed=2)
+    v = jnp.asarray(np.random.default_rng(3).normal(size=n), dtype=jnp.float32)
+    hist64 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float64) if a.dtype == jnp.float32 else a, hist
+    )
+    oracle = np.asarray(two_loop(v.astype(jnp.float64), hist64))
+    r_pallas = np.asarray(two_loop_pallas(v, hist))
+    np.testing.assert_allclose(r_pallas, oracle, atol=5e-6, rtol=5e-6)
+    # sanity: the f32 XLA path agrees with the oracle at its (looser) scale
+    r_xla = np.asarray(two_loop(v, hist))
+    np.testing.assert_allclose(r_xla, oracle, atol=5e-4, rtol=5e-4)
