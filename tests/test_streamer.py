@@ -88,3 +88,15 @@ def test_sgd_streaming_trains():
     assert int(res.n_iters) == 60
     np.testing.assert_allclose(np.asarray(res.x), w_true, atol=0.05)
     assert np.isfinite(res.loss_history[:60]).all()
+
+
+def test_streamer_rejects_bad_args():
+    x, y = _dataset(8)
+    with pytest.raises(ValueError):
+        BatchStreamer(x[:4], y, 2)  # mismatched leading dims
+    with pytest.raises(ValueError):
+        BatchStreamer(x.ravel(), y, 2)  # not 2-D
+    # batch_size larger than n clamps rather than failing
+    with BatchStreamer(x, y, batch_size=64, seed=0) as st:
+        xb, yb, count, epoch = st.next()
+        assert count == 8 and st.batch_size == 8
