@@ -17,4 +17,7 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still mutab
 
 if not os.environ.get("LBFGS_TPU_TESTS"):
     jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+    jax.config.update("jax_enable_x64", True)
+# TPU mode: leave x64 off — the chip has no native f64 and the software
+# emulation is both ~1000x slower and unstable through the axon tunnel;
+# f64-oracle tests skip themselves when x64 is unavailable.

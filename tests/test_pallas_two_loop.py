@@ -84,6 +84,8 @@ def test_pallas_streaming_path_matches_f64_oracle(m, k):
     here."""
     from lbfgs_ffnn_tpu.ops import pallas_two_loop as mod
 
+    if not jax.config.jax_enable_x64:
+        pytest.skip("f64 oracle needs x64 (disabled in TPU-native test mode)")
     n = 200_000  # m * n_pad = 6 * 200704 >> _VMEM_RESIDENT_LIMIT
     assert m * ((n + 1023) // 1024) * 1024 > mod._VMEM_RESIDENT_LIMIT
     hist = make_history(m, n, k, seed=2)
