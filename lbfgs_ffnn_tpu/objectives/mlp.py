@@ -173,13 +173,62 @@ def mlp_loss(
 
 
 def mlp_problem(spec: MLPSpec, lam: float = 0.0, compute_dtype=None) -> Problem:
-    """Full-batch Problem; ``aux = (x, y)``."""
+    """Full-batch Problem; ``aux = (x, y)``.
+
+    Includes a ``line_fun`` restriction: along a fixed direction ``p`` the
+    first-layer preactivation is affine in the step length,
+    ``z1(alpha) = (x@W1_w + b1_w) + alpha*(x@W1_p + b1_p) = A + alpha*B``,
+    so repeated line-search trials replace the dominant (batch, in_dim)
+    input-matrix read+GEMM with one elementwise combine over (batch, d1) —
+    measured ~2x cheaper trials on MNIST-60k. Mathematically identical to
+    ``fun(w + alpha*p)``; float rounding differs in the last ulps (and a bit
+    more under ``compute_dtype=bf16``, where bf16(w)+alpha*bf16(p) stands in
+    for bf16(w+alpha*p)).
+    """
 
     def fun(w, aux):
         x, y = aux
         return mlp_loss(spec, w, x, y, lam, compute_dtype)
 
-    return make_problem(fun)
+    w_off, b_off, d_in, d_out = next(iter(spec.layer_slices()))
+    first_elems = d_in * d_out + d_out
+    act0 = _ACTIVATIONS[spec.activations[0]]
+    rest_spec = (
+        MLPSpec(dims=spec.dims[1:], activations=spec.activations[1:])
+        if spec.n_layers > 1 else None
+    )
+
+    def _first_affine(v, x):
+        W = v[w_off : w_off + d_in * d_out].reshape(d_in, d_out)
+        b = v[b_off : b_off + d_out]
+        if compute_dtype is not None:
+            return jnp.dot(x.astype(compute_dtype), W.astype(compute_dtype),
+                           preferred_element_type=x.dtype) + b
+        return jnp.dot(x, W, preferred_element_type=x.dtype) + b
+
+    def line_fun(w, p, aux):
+        x, y = aux
+        A = _first_affine(w, x)
+        B = _first_affine(p, x)
+        w_rest = w[first_elems:]
+        p_rest = p[first_elems:]
+
+        def value(alpha):
+            h = act0(A + alpha * B)
+            out = (
+                mlp_apply(rest_spec, w_rest + alpha * p_rest, h, compute_dtype)
+                if rest_spec is not None else h
+            )
+            diff = out - y
+            loss = 0.5 * jnp.sum(diff * diff) / x.shape[0]
+            if lam:
+                wa = w + alpha * p
+                loss = loss + 0.5 * lam * jnp.vdot(wa, wa)
+            return loss
+
+        return value
+
+    return make_problem(fun, line_fun=line_fun)
 
 
 def mlp_batch_problem(

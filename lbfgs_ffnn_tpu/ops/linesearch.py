@@ -54,6 +54,7 @@ def wolfe_line_search(
     max_iters: int = 50,
     alpha0: float = 1.0,
     value: Callable[..., jax.Array] | None = None,
+    value_along: Callable[[jax.Array], jax.Array] | None = None,
 ) -> LineSearchResult:
     """Bracketing bisection Wolfe search.
 
@@ -78,6 +79,12 @@ def wolfe_line_search(
     one-trial-dominated run is faster fused — measured on MNIST-5k (mostly
     1 trial): fused 1.13 ms/iter vs lean 1.28; on the Burgers plateau
     (tens of trials): lean 1.42 vs fused 1.83.
+
+    ``value_along`` (a precomputed restriction ``alpha -> f(x + alpha*p)``,
+    see ``Problem.line_fun``) replaces the lean trial's full forward with the
+    structure-exploiting one; the directional derivative is then the scalar
+    jvp d/dalpha of that restriction. Requires ``value`` mode (ignored when
+    fused).
     """
     dtype = x.dtype
     inf = jnp.array(jnp.inf, dtype=dtype)
@@ -110,6 +117,11 @@ def wolfe_line_search(
         if fused:
             f_new, g_new = value_and_grad(x_new, aux)
             dg_new = jnp.vdot(g_new, p)
+        elif value_along is not None:
+            f_new, dg_new = jax.jvp(
+                value_along, (c.alpha,), (jnp.ones_like(c.alpha),)
+            )
+            g_new = c.g_new
         else:
             f_new, dg_new = jax.jvp(lambda u: value(u, aux), (x_new,), (p,))
             g_new = c.g_new
@@ -161,6 +173,7 @@ def armijo_batched_line_search(
     max_iters: int = 20,
     alpha0: jax.Array | float = 1.0,
     spec_k: int = 4,
+    value_along: Callable[[jax.Array], jax.Array] | None = None,
 ) -> LineSearchResult:
     """Speculative batched Armijo backtracking (TPU-only policy, no
     reference counterpart).
@@ -188,7 +201,10 @@ def armijo_batched_line_search(
     alpha0 = jnp.asarray(alpha0, dtype=dtype)
     ladder = shrink ** jnp.arange(K, dtype=dtype)  # within-round factors
 
-    batched_value = jax.vmap(lambda a: value(x + a * p, aux))
+    if value_along is not None:
+        batched_value = jax.vmap(value_along)
+    else:
+        batched_value = jax.vmap(lambda a: value(x + a * p, aux))
 
     class _C(NamedTuple):
         r: jax.Array
@@ -244,6 +260,7 @@ def armijo_quad_line_search(
     max_iters: int = 20,
     alpha0: jax.Array | float = 1.0,
     value: Callable[..., jax.Array] | None = None,
+    value_along: Callable[[jax.Array], jax.Array] | None = None,
 ) -> LineSearchResult:
     """Armijo backtracking with safeguarded quadratic interpolation.
 
@@ -263,6 +280,10 @@ def armijo_quad_line_search(
     full-batch objectives. (The reference cannot do this: its single
     ``LossGradFun`` callback always computes both,
     reference: src/cuda/minimizer_base.cuh:15-16.)
+
+    ``value_along`` (a precomputed restriction ``alpha -> f(x + alpha*p)``,
+    see ``Problem.line_fun``) further replaces each trial's full forward
+    with the structure-exploiting one. Requires ``value`` mode.
     """
     dtype = x.dtype
     fused = value is None
@@ -293,6 +314,8 @@ def armijo_quad_line_search(
         x_new = x + a * p
         if fused:
             f_new, g_new = trial_f(x_new, aux)
+        elif value_along is not None:
+            f_new, g_new = value_along(a), c.g_new
         else:
             f_new, g_new = trial_f(x_new, aux), c.g_new
         ok = f_new <= f0 + c1 * a * dg0

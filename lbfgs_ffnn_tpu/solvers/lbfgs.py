@@ -143,12 +143,19 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                 jnp.minimum(jnp.ones_like(s.gnorm), 1.0 / s.gnorm),
                 jnp.ones_like(s.gnorm),
             )
+            # Structure-exploiting restriction f(x + a*p) when the problem
+            # provides one (e.g. the MLP's affine first layer); only useful
+            # for value-only trials.
+            va = (
+                problem.line_fun(s.x, p, aux)
+                if problem.line_fun is not None else None
+            )
             if opts.line_search == "armijo_batched":
                 ls = armijo_batched_line_search(
                     problem.value_and_grad, s.x, p, s.f, dg0, aux,
                     value=problem.fun, c1=opts.c1, shrink=opts.ls_shrink,
                     max_iters=opts.ls_max_iters, alpha0=alpha0,
-                    spec_k=opts.ls_spec_k,
+                    spec_k=opts.ls_spec_k, value_along=va,
                 )
             else:
                 ls = armijo_quad_line_search(
@@ -156,6 +163,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                     c1=opts.c1, shrink=opts.ls_shrink,
                     max_iters=opts.ls_max_iters, alpha0=alpha0,
                     value=problem.fun if lean else None,
+                    value_along=va if lean else None,
                 )
             alpha, f_new, g_new = ls.alpha, ls.f_new, ls.g_new
             # History reset on line-search failure (cuda/lbfgs.cuh:147).
@@ -174,11 +182,16 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                 return alpha, f_new, g_new, jnp.int32(1), jnp.int32(1)
 
             def later(_):
+                va = (
+                    problem.line_fun(s.x, p, aux)
+                    if (lean and problem.line_fun is not None) else None
+                )
                 ls = wolfe_line_search(
                     problem.value_and_grad, s.x, p, s.f, dg0, aux,
                     c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
                     max_iters=opts.ls_max_iters,
                     value=problem.fun if lean else None,
+                    value_along=va,
                 )
                 if lean:
                     # jvp trials + one value_and_grad (at accept, or by the

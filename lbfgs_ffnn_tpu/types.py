@@ -33,6 +33,14 @@ class Problem(NamedTuple):
     grad: Callable[..., jax.Array]
     value_and_grad: Callable[..., tuple[jax.Array, jax.Array]]
     hess: Optional[Callable[..., jax.Array]] = None
+    # Optional line-restriction factory: ``line_fun(w, p, aux)`` returns a
+    # callable ``alpha -> fun(w + alpha*p, aux)`` that may exploit structure
+    # to make repeated evaluations along a FIXED direction cheap (e.g. the
+    # MLP objective precomputes the first-layer preactivation's affine
+    # decomposition A + alpha*B, so line-search trials skip re-reading the
+    # input matrix — the dominant HBM cost). Must agree with ``fun`` up to
+    # float rounding. Solvers fall back to ``fun`` when None.
+    line_fun: Optional[Callable[..., Callable[[jax.Array], jax.Array]]] = None
 
     def hvp(self, w: jax.Array, v: jax.Array, aux: Any = ()) -> jax.Array:
         """Exact Hessian-vector product via forward-over-reverse jvp."""
@@ -103,6 +111,7 @@ def make_problem(
     fun: Callable[..., jax.Array],
     grad: Optional[Callable[..., jax.Array]] = None,
     hess: Optional[Callable[..., jax.Array]] = None,
+    line_fun: Optional[Callable[..., Callable]] = None,
 ) -> Problem:
     """Build a :class:`Problem` from a scalar objective ``fun(w, aux)``.
 
@@ -118,7 +127,8 @@ def make_problem(
 
     if hess is None:
         hess = jax.hessian(fun)
-    return Problem(fun=fun, grad=grad, value_and_grad=value_and_grad, hess=hess)
+    return Problem(fun=fun, grad=grad, value_and_grad=value_and_grad,
+                   hess=hess, line_fun=line_fun)
 
 
 def make_batch_problem(

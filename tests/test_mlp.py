@@ -144,3 +144,45 @@ def test_bf16_compute_mode_close_to_f32():
     assert gbf.dtype == g32.dtype == jnp.float32
     cos = float(jnp.vdot(g32, gbf) / (jnp.linalg.norm(g32) * jnp.linalg.norm(gbf)))
     assert cos > 0.99
+
+
+def test_mlp_line_fun_matches_full_objective():
+    """The affine-first-layer line restriction must agree with
+    fun(w + alpha*p) for several alphas (f64: tight; the trick is exact up
+    to rounding)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+
+    for lam in (0.0, 1e-4):
+        spec = mlp_spec([7, 5, 3], ["relu", "linear"])
+        prob = mlp_problem(spec, lam=lam)
+        key = jax.random.PRNGKey(0)
+        w = mlp_init(spec, key, dtype=jnp.float64)
+        p = jax.random.normal(jax.random.PRNGKey(1), w.shape, dtype=jnp.float64)
+        x = jax.random.normal(jax.random.PRNGKey(2), (16, 7), dtype=jnp.float64)
+        y = jax.random.normal(jax.random.PRNGKey(3), (16, 3), dtype=jnp.float64)
+        restriction = prob.line_fun(w, p, (x, y))
+        for alpha in (0.0, 1.0, 0.37, 2.5):
+            a = jnp.float64(alpha)
+            np.testing.assert_allclose(
+                float(restriction(a)), float(prob.fun(w + a * p, (x, y))),
+                rtol=1e-12,
+            )
+        # directional derivative via jvp of the restriction == g . p
+        f, df = jax.jvp(restriction, (jnp.float64(0.2),), (jnp.float64(1.0),))
+        g = prob.grad(w + 0.2 * p, (x, y))
+        np.testing.assert_allclose(float(df), float(jnp.vdot(g, p)), rtol=1e-10)
+
+    # single-layer network exercises the rest_spec=None branch
+    spec1 = mlp_problem(mlp_spec([4, 2], ["linear"]))
+    w1 = mlp_init(mlp_spec([4, 2], ["linear"]), jax.random.PRNGKey(0), dtype=jnp.float64)
+    p1 = jax.random.normal(jax.random.PRNGKey(4), w1.shape, dtype=jnp.float64)
+    x1 = jax.random.normal(jax.random.PRNGKey(5), (8, 4), dtype=jnp.float64)
+    y1 = jax.random.normal(jax.random.PRNGKey(6), (8, 2), dtype=jnp.float64)
+    r1 = spec1.line_fun(w1, p1, (x1, y1))
+    np.testing.assert_allclose(
+        float(r1(jnp.float64(0.7))), float(spec1.fun(w1 + 0.7 * p1, (x1, y1))),
+        rtol=1e-12,
+    )
