@@ -34,9 +34,10 @@ class BFGSOptions(NamedTuple):
     c1: float = 1e-4
     c2: float = 0.9
     ls_shrink: float = 0.5
-    ls_value_only: bool = False  # (loss, g·p)-via-jvp trials — worth it only
-                                 # when searches backtrack a lot; see
-                                 # ops/linesearch.py
+    ls_value_only: bool | None = None  # (loss, g·p)-via-jvp trials; None =
+                                       # auto: on iff the problem carries a
+                                       # line restriction (Problem.line_fun);
+                                       # see ops/linesearch.py
 
 
 class _State(NamedTuple):
@@ -70,6 +71,12 @@ def _solve_linear(B, rhs, opts: BFGSOptions):
 
 
 def _build(problem: Problem, opts: BFGSOptions):
+    lean = (
+        opts.ls_value_only
+        if opts.ls_value_only is not None
+        else problem.line_fun is not None
+    )
+
     def solve(x0, aux, B0):
         f0, g0 = problem.value_and_grad(x0, aux)
         loss_h, gnorm_h = init_history(opts.max_iters, x0.dtype)
@@ -86,11 +93,16 @@ def _build(problem: Problem, opts: BFGSOptions):
         def body(s: _State) -> _State:
             p = _solve_linear(s.B, -s.g, opts)
             dg0 = jnp.vdot(s.g, p)
+            va = (
+                problem.line_fun(s.x, p, aux)
+                if (lean and problem.line_fun is not None) else None
+            )
             ls = wolfe_line_search(
                 problem.value_and_grad, s.x, p, s.f, dg0, aux,
                 c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
                 max_iters=opts.ls_max_iters,
-                value=problem.fun if opts.ls_value_only else None,
+                value=problem.fun if lean else None,
+                value_along=va,
             )
 
             def use_ls(_):
@@ -100,7 +112,7 @@ def _build(problem: Problem, opts: BFGSOptions):
                 return problem.value_and_grad(s.x + ls.alpha * p, aux)
 
             f_new, g_new = lax.cond(ls.evaluated, use_ls, reeval, None)
-            if opts.ls_value_only:
+            if lean:
                 nf_add, ng_add = ls.n_trials + 1, jnp.int32(1)
             else:
                 one_more = jnp.where(ls.evaluated, 0, 1).astype(jnp.int32)

@@ -33,9 +33,10 @@ class GDOptions(NamedTuple):
     c1: float = 1e-4
     c2: float = 0.9
     ls_shrink: float = 0.5
-    ls_value_only: bool = False  # (loss, g·p)-via-jvp trials — worth it only
-                                 # when searches backtrack a lot; see
-                                 # ops/linesearch.py
+    ls_value_only: bool | None = None  # (loss, g·p)-via-jvp trials; None =
+                                       # auto: on iff the problem carries a
+                                       # line restriction (Problem.line_fun);
+                                       # see ops/linesearch.py
 
 
 class _State(NamedTuple):
@@ -52,6 +53,12 @@ class _State(NamedTuple):
 
 
 def _build(problem: Problem, opts: GDOptions):
+    lean = (
+        opts.ls_value_only
+        if opts.ls_value_only is not None
+        else problem.line_fun is not None
+    )
+
     def solve(x0, aux):
         f0, g0 = problem.value_and_grad(x0, aux)
         loss_h, gnorm_h = init_history(opts.max_iters, x0.dtype)
@@ -80,11 +87,16 @@ def _build(problem: Problem, opts: GDOptions):
                 v = s.v
                 if opts.use_line_search:
                     dg0 = jnp.vdot(s.g, -s.g)
+                    va = (
+                        problem.line_fun(s.x, -s.g, aux)
+                        if (lean and problem.line_fun is not None) else None
+                    )
                     ls = wolfe_line_search(
                         problem.value_and_grad, s.x, -s.g, s.f, dg0, aux,
                         c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
                         max_iters=opts.ls_max_iters,
-                        value=problem.fun if opts.ls_value_only else None,
+                        value=problem.fun if lean else None,
+                        value_along=va,
                     )
                     alpha = ls.alpha
                 else:
@@ -102,7 +114,7 @@ def _build(problem: Problem, opts: GDOptions):
                     lambda _: problem.value_and_grad(x_new, aux),
                     None,
                 )
-                if opts.ls_value_only:
+                if lean:
                     nf_add, ng_add = ls.n_trials + 1, jnp.int32(1)
                 else:
                     one_more = jnp.where(ls.evaluated, 0, 1).astype(jnp.int32)

@@ -119,10 +119,13 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
     if opts.line_search not in ("wolfe", "armijo", "armijo_batched"):
         raise ValueError(f"unknown line_search {opts.line_search!r}")
 
+    # Auto: lean trials for armijo (backtracking-heavy by construction) and
+    # whenever the problem carries a cheap line restriction — measured on
+    # MNIST-5k wolfe m=20: lean+line_fun 0.34 ms/iter vs fused 1.12.
     lean = (
         opts.ls_value_only
         if opts.ls_value_only is not None
-        else opts.line_search == "armijo"
+        else (opts.line_search == "armijo" or problem.line_fun is not None)
     )
 
     def body(s: _State, aux) -> _State:
