@@ -189,11 +189,13 @@ def armijo_batched_line_search(
     candidate with ``ok=False``, mirroring the sequential policy's failure
     semantics. ``n_trials`` counts every speculated evaluation.
 
-    Measured on the MNIST 60k L-BFGS headline: neutral at spec_k=2, slower
-    at spec_k=4 — the sequential search's quadratic interpolation needs
-    fewer trials (~13.7/iter) than the pure ladder (~16/iter), cancelling
-    the batching discount. Retained for objectives where per-dispatch
-    latency dominates trial compute.
+    Measured on the MNIST 60k L-BFGS headline: with a plain objective the
+    ladder is neutral (the sequential search's quadratic interpolation needs
+    fewer trials, ~13.7/iter vs ~16, cancelling the batching discount), but
+    combined with a line restriction (``value_along`` from
+    ``Problem.line_fun``) the per-round A/B reads amortize across all
+    spec_k candidates: 1.49 -> 0.75 ms/iter at spec_k=8 (9.6x the reference
+    GPU), with equal or better final loss.
     """
     dtype = x.dtype
     K = int(spec_k)
