@@ -35,6 +35,9 @@ parser.add_argument("--pallas", action="store_true",
                     help="force the fused Pallas two-loop (default: auto — on for TPU)")
 parser.add_argument("--xla-two-loop", action="store_true",
                     help="force the in-program XLA two-loop")
+parser.add_argument("--batched-ls", action="store_true",
+                    help="add L-BFGS runs with the speculative batched "
+                         "Armijo ladder (the framework's fastest policy)")
 args = parser.parse_args()
 
 from lbfgs_ffnn_tpu.data.datasets import load_fashion_mnist, load_mnist  # noqa: E402
@@ -94,6 +97,14 @@ else:
                                 tolerance=1e-3, m_param=100, log_interval=1,
                                 two_loop_impl=two_loop)),
     ]
+
+if args.batched_ls:
+    for m in (10, 100):
+        runs.append(("lbfgs", UnifiedConfig(
+            name=f"{name}_LBFGS_m{m}_batchedLS", max_iters=args.iters,
+            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
+            log_interval=1, two_loop_impl=two_loop,
+            line_search="armijo_batched")))
 
 for solver, cfg in runs:
     print(f"Running {cfg.name} ({solver})...")

@@ -78,6 +78,11 @@ class UnifiedConfig:
     timed_chunks: int = 0        # >0: L-BFGS runs in K-iter chunks with
                                  # measured cumulative TimeMs per chunk
     record_accuracy: bool = False  # per-epoch TrainAcc column (sgd/slbfgs)
+    line_search: str = ""        # L-BFGS override: "" = backend style
+                                 # (cpu->wolfe, cuda->armijo);
+                                 # "armijo_batched" = spec_k-candidate
+                                 # speculative ladder (TPU-only policy)
+    ls_spec_k: int = 8           # candidates per batched forward
 
 
 @dataclasses.dataclass
@@ -226,11 +231,13 @@ class Launcher:
 
     def _lbfgs_opts(self, c: UnifiedConfig) -> LBFGSOptions:
         cuda = self.backend_style == "cuda"
+        ls = c.line_search or ("armijo" if cuda else "wolfe")
         return LBFGSOptions(
             max_iters=c.max_iters, tol=c.tolerance,
             m=c.m_param if c.m_param > 0 else 10,
-            line_search="armijo" if cuda else "wolfe",
-            ls_max_iters=20 if cuda else 50,
+            line_search=ls,
+            ls_max_iters=24 if ls == "armijo_batched" else (20 if cuda else 50),
+            ls_spec_k=c.ls_spec_k,
             two_loop_impl=c.two_loop_impl,
         )
 
