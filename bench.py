@@ -79,16 +79,17 @@ def main():
         for i in range(4 if not QUICK else 2)
     ]
 
-    # ---- headline: full-batch L-BFGS m=10, the framework's best line-search
-    # configuration: speculative batched Armijo ladder (8 candidates per
-    # batched forward through the affine first-layer line restriction),
-    # tol 1e-12 so the run goes the full iteration budget. Reaches equal or
-    # better final loss than the reference-policy search (measured
-    # 0.00308 vs 0.00341 at 1000 iters). ----
+    # ---- headline: full-batch L-BFGS m=10, the reference CUDA line-search
+    # policy (sequential Armijo with quadratic interpolation — exact
+    # trial-sequence parity with src/cuda/lbfgs.cuh). Trials run as lean
+    # forwards through the carried first-layer line prefix
+    # (Problem.line_prefix: A lives in solver state, A += alpha*B per step),
+    # which makes this the framework's fastest configuration as well.
+    # tol 1e-12 so the run goes the full iteration budget. ----
     impl = "pallas" if backend == "tpu" else "xla"
     opts = LBFGSOptions(
-        max_iters=iters, tol=1e-12, m=10, line_search="armijo_batched",
-        ls_spec_k=8, ls_max_iters=24, two_loop_impl=impl,
+        max_iters=iters, tol=1e-12, m=10, line_search="armijo",
+        ls_max_iters=20, two_loop_impl=impl,
     )
 
     def run_lbfgs(w0):
@@ -97,29 +98,11 @@ def main():
     wall, n_iters, res = time_solve(run_lbfgs, w0s)
     ms_per_iter = wall * 1e3 / max(n_iters, 1)
     log(
-        f"L-BFGS m=10 N={n_train} (batched-ladder LS): {n_iters} iters in "
+        f"L-BFGS m=10 N={n_train}: {n_iters} iters in "
         f"{wall:.3f}s -> {ms_per_iter:.3f} ms/iter, final loss "
         f"{float(res.final_loss):.5g}, "
         f"train acc {evaluate(spec, res.x, x, y)['accuracy']:.2f}%"
     )
-
-    # ---- supplementary: the reference CUDA policy (sequential Armijo with
-    # quadratic interpolation), exact trial-sequence parity with
-    # src/cuda/lbfgs.cuh ----
-    try:
-        opts_ref = LBFGSOptions(
-            max_iters=iters, tol=1e-12, m=10, line_search="armijo",
-            ls_max_iters=20, two_loop_impl=impl,
-        )
-        wall_r, n_r, res_r = time_solve(
-            lambda w0: lbfgs(prob, w0, aux=(x, y), opts=opts_ref), w0s[:3]
-        )
-        log(
-            f"L-BFGS m=10 reference-policy LS: {wall_r * 1e3 / max(n_r, 1):.3f} "
-            f"ms/iter, final loss {float(res_r.final_loss):.5g}"
-        )
-    except Exception as e:
-        log(f"reference-policy supplementary failed: {e}")
 
     # ---- supplementary: S-LBFGS epoch cost (reference CPU: 214.7 ms/epoch
     # at N=5000, b=256) ----

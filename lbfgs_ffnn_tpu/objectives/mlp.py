@@ -30,7 +30,9 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from lbfgs_ffnn_tpu.types import BatchProblem, Problem, make_batch_problem, make_problem
+from lbfgs_ffnn_tpu.types import (
+    BatchProblem, LinePrefix, Problem, make_batch_problem, make_problem,
+)
 
 _ACTIVATIONS = {
     "linear": lambda z: z,
@@ -206,10 +208,8 @@ def mlp_problem(spec: MLPSpec, lam: float = 0.0, compute_dtype=None) -> Problem:
                            preferred_element_type=x.dtype) + b
         return jnp.dot(x, W, preferred_element_type=x.dtype) + b
 
-    def line_fun(w, p, aux):
+    def restrict(A, B, w, p, aux):
         x, y = aux
-        A = _first_affine(w, x)
-        B = _first_affine(p, x)
         w_rest = w[first_elems:]
         p_rest = p[first_elems:]
 
@@ -228,7 +228,20 @@ def mlp_problem(spec: MLPSpec, lam: float = 0.0, compute_dtype=None) -> Problem:
 
         return value
 
-    return make_problem(fun, line_fun=line_fun)
+    def line_fun(w, p, aux):
+        x, _ = aux
+        return restrict(_first_affine(w, x), _first_affine(p, x), w, p, aux)
+
+    # Carried form: A lives in the solver state and updates via A += alpha*B
+    # (the first-layer preactivation is linear in w), so the per-iteration
+    # cost drops to ONE first-layer matmul (for the new direction's B).
+    line_prefix = LinePrefix(
+        init=lambda w, aux: _first_affine(w, aux[0]),
+        direction=lambda p, aux: _first_affine(p, aux[0]),
+        restrict=restrict,
+    )
+
+    return make_problem(fun, line_fun=line_fun, line_prefix=line_prefix)
 
 
 def mlp_batch_problem(

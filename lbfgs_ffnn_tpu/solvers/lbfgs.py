@@ -84,6 +84,9 @@ class _State(NamedTuple):
     gnorm_h: jax.Array
     nf: jax.Array  # objective (forward / jvp-trial) evaluations
     ng: jax.Array  # full-gradient evaluations
+    prefix: Any = ()  # carried LinePrefix state (e.g. the MLP's A = x@W1+b1);
+                      # () when the problem has none. Updated exactly as
+                      # prefix += alpha * B on every step (linear in w).
 
 
 def _direction(g, hist, opts: LBFGSOptions):
@@ -92,6 +95,17 @@ def _direction(g, hist, opts: LBFGSOptions):
 
         return -two_loop_pallas(g, hist)
     return -two_loop(g, hist)
+
+
+def _use_prefix(problem: Problem, opts: LBFGSOptions) -> bool:
+    lean = (
+        opts.ls_value_only
+        if opts.ls_value_only is not None
+        else (opts.line_search == "armijo" or problem.line_fun is not None)
+    )
+    return problem.line_prefix is not None and (
+        lean or opts.line_search == "armijo_batched"
+    )
 
 
 def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux) -> _State:
@@ -108,6 +122,10 @@ def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux) -> _State:
         gnorm_h=gnorm_h,
         nf=jnp.int32(1),
         ng=jnp.int32(1),
+        prefix=(
+            problem.line_prefix.init(x0, aux)
+            if _use_prefix(problem, opts) else ()
+        ),
     )
 
 
@@ -127,6 +145,18 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
         if opts.ls_value_only is not None
         else (opts.line_search == "armijo" or problem.line_fun is not None)
     )
+    use_prefix = _use_prefix(problem, opts)
+
+    def make_va(s: _State, p, aux):
+        """(B, value_along): the carried-prefix restriction when available
+        (one first-layer matmul for B; A comes from the loop state), else
+        the per-iteration line_fun, else nothing."""
+        if use_prefix:
+            B = problem.line_prefix.direction(p, aux)
+            return B, problem.line_prefix.restrict(s.prefix, B, s.x, p, aux)
+        if problem.line_fun is not None:
+            return None, problem.line_fun(s.x, p, aux)
+        return None, None
 
     def body(s: _State, aux) -> _State:
         p = _direction(s.g, s.hist, opts)
@@ -149,10 +179,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
             # Structure-exploiting restriction f(x + a*p) when the problem
             # provides one (e.g. the MLP's affine first layer); only useful
             # for value-only trials.
-            va = (
-                problem.line_fun(s.x, p, aux)
-                if problem.line_fun is not None else None
-            )
+            B, va = make_va(s, p, aux)
             if opts.line_search == "armijo_batched":
                 ls = armijo_batched_line_search(
                     problem.value_and_grad, s.x, p, s.f, dg0, aux,
@@ -177,6 +204,8 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
             else:     # each trial is a fused value_and_grad
                 nf_add, ng_add = ls.n_trials, ls.n_trials
         else:
+            B, va0 = make_va(s, p, aux)
+
             # First-iteration heuristic step, no search
             # (reference: src/minimizer/lbfgs.hpp:61-65).
             def first(_):
@@ -185,16 +214,12 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                 return alpha, f_new, g_new, jnp.int32(1), jnp.int32(1)
 
             def later(_):
-                va = (
-                    problem.line_fun(s.x, p, aux)
-                    if (lean and problem.line_fun is not None) else None
-                )
                 ls = wolfe_line_search(
                     problem.value_and_grad, s.x, p, s.f, dg0, aux,
                     c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
                     max_iters=opts.ls_max_iters,
                     value=problem.fun if lean else None,
-                    value_along=va,
+                    value_along=va0 if lean else None,
                 )
                 if lean:
                     # jvp trials + one value_and_grad (at accept, or by the
@@ -230,10 +255,16 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
 
         gnorm_new = jnp.linalg.norm(g_new)
         loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
+        # Carried prefix moves with the iterate: x_new = x + alpha*p implies
+        # prefix_new = prefix + alpha*B exactly (linear in w).
+        prefix_new = (
+            jax.tree_util.tree_map(lambda a, b: a + alpha * b, s.prefix, B)
+            if use_prefix else s.prefix
+        )
         return _State(
             k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
             hist=hist, loss_h=loss_h, gnorm_h=gnorm_h,
-            nf=s.nf + nf_add, ng=s.ng + ng_add,
+            nf=s.nf + nf_add, ng=s.ng + ng_add, prefix=prefix_new,
         )
 
     return body

@@ -22,6 +22,27 @@ import jax
 import jax.numpy as jnp
 
 
+class LinePrefix(NamedTuple):
+    """Carried line-restriction protocol for problems whose objective has a
+    parameter-linear prefix (e.g. an MLP's first-layer preactivation).
+
+    ``init(w, aux) -> P`` computes the prefix at the current iterate;
+    ``direction(p, aux) -> B`` its directional increment; the restriction
+    ``restrict(P, B, w, p, aux)(alpha)`` equals ``fun(w + alpha*p, aux)`` up
+    to rounding. Because the prefix is linear in ``w``, accepting a step
+    ``alpha`` updates it exactly as ``P <- P + alpha * B`` (an elementwise
+    axpy the solver performs with ``jax.tree_util.tree_map``) — the ``init``
+    matmul runs once per solve, not once per iteration. f32 drift of the
+    accumulated prefix is ~sqrt(iters)*eps and only influences line-search
+    *trial* values; the accepted point's loss/gradient always come from a
+    fresh ``value_and_grad``.
+    """
+
+    init: Callable[..., Any]
+    direction: Callable[..., Any]
+    restrict: Callable[..., Callable[[jax.Array], jax.Array]]
+
+
 class Problem(NamedTuple):
     """A smooth unconstrained objective for full-batch solvers.
 
@@ -41,6 +62,12 @@ class Problem(NamedTuple):
     # input matrix — the dominant HBM cost). Must agree with ``fun`` up to
     # float rounding. Solvers fall back to ``fun`` when None.
     line_fun: Optional[Callable[..., Callable[[jax.Array], jax.Array]]] = None
+    # Optional carried form of the same restriction (see LinePrefix): lets a
+    # solver keep the w-dependent precomputation (the MLP's A = x@W1 + b1)
+    # in its loop state and update it for free via A <- A + alpha*B instead
+    # of recomputing a big matmul every iteration. L-BFGS uses it when
+    # present; other solvers fall back to line_fun.
+    line_prefix: Optional["LinePrefix"] = None
 
     def hvp(self, w: jax.Array, v: jax.Array, aux: Any = ()) -> jax.Array:
         """Exact Hessian-vector product via forward-over-reverse jvp."""
@@ -112,6 +139,7 @@ def make_problem(
     grad: Optional[Callable[..., jax.Array]] = None,
     hess: Optional[Callable[..., jax.Array]] = None,
     line_fun: Optional[Callable[..., Callable]] = None,
+    line_prefix: Optional[LinePrefix] = None,
 ) -> Problem:
     """Build a :class:`Problem` from a scalar objective ``fun(w, aux)``.
 
@@ -128,7 +156,7 @@ def make_problem(
     if hess is None:
         hess = jax.hessian(fun)
     return Problem(fun=fun, grad=grad, value_and_grad=value_and_grad,
-                   hess=hess, line_fun=line_fun)
+                   hess=hess, line_fun=line_fun, line_prefix=line_prefix)
 
 
 def make_batch_problem(
