@@ -37,7 +37,9 @@ parser.add_argument("--xla-two-loop", action="store_true",
                     help="force the in-program XLA two-loop")
 parser.add_argument("--batched-ls", action="store_true",
                     help="add L-BFGS runs with the speculative batched "
-                         "Armijo ladder (the framework's fastest policy)")
+                         "Armijo ladder (pure backtracking, slightly "
+                         "better loss; since the carried line prefix, the "
+                         "reference policy is the faster one)")
 args = parser.parse_args()
 
 from lbfgs_ffnn_tpu.data.datasets import load_fashion_mnist, load_mnist  # noqa: E402

@@ -232,11 +232,16 @@ class Launcher:
     def _lbfgs_opts(self, c: UnifiedConfig) -> LBFGSOptions:
         cuda = self.backend_style == "cuda"
         ls = c.line_search or ("armijo" if cuda else "wolfe")
+        # Trial budget follows the selected policy, not the backend style:
+        # wolfe = 50 (reference CPU, full_batch_minimizer.hpp), armijo = 20
+        # (reference CUDA, minimizer_base.cuh), batched ladder = 24 (3 rounds
+        # of 8).
+        ls_max = {"wolfe": 50, "armijo": 20, "armijo_batched": 24}[ls]
         return LBFGSOptions(
             max_iters=c.max_iters, tol=c.tolerance,
             m=c.m_param if c.m_param > 0 else 10,
             line_search=ls,
-            ls_max_iters=24 if ls == "armijo_batched" else (20 if cuda else 50),
+            ls_max_iters=ls_max,
             ls_spec_k=c.ls_spec_k,
             two_loop_impl=c.two_loop_impl,
         )

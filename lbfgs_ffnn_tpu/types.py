@@ -33,9 +33,12 @@ class LinePrefix(NamedTuple):
     ``alpha`` updates it exactly as ``P <- P + alpha * B`` (an elementwise
     axpy the solver performs with ``jax.tree_util.tree_map``) — the ``init``
     matmul runs once per solve, not once per iteration. f32 drift of the
-    accumulated prefix is ~sqrt(iters)*eps and only influences line-search
-    *trial* values; the accepted point's loss/gradient always come from a
-    fresh ``value_and_grad``.
+    accumulated prefix is ~sqrt(iters)*eps. It influences line-search trial
+    values — including, on the Wolfe-lean path, the accepted trial's loss
+    (which feeds the next Armijo threshold and the loss history). The
+    gradient at the accepted point always comes from a fresh
+    ``value_and_grad``, so the optimization trajectory stays anchored to the
+    true objective.
     """
 
     init: Callable[..., Any]
@@ -155,6 +158,10 @@ def make_problem(
 
     if hess is None:
         hess = jax.hessian(fun)
+    if line_fun is None and line_prefix is not None:
+        # The per-call restriction is derivable from the carried protocol.
+        def line_fun(w, p, aux, _lp=line_prefix):
+            return _lp.restrict(_lp.init(w, aux), _lp.direction(p, aux), w, p, aux)
     return Problem(fun=fun, grad=grad, value_and_grad=value_and_grad,
                    hess=hess, line_fun=line_fun, line_prefix=line_prefix)
 

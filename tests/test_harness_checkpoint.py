@@ -132,3 +132,36 @@ def test_checkpoint_restore_fills_new_fields(tmp_path):
     assert int(restored.k) == 7
     np.testing.assert_allclose(np.asarray(restored.x), np.arange(4.0))
     assert int(restored.nf) == 0 and int(restored.ng) == 0
+
+
+def test_lbfgs_chunked_resume_with_line_prefix(tmp_path):
+    """Kill-and-resume through a problem that carries a line prefix (MLP):
+    the prefix is part of the chunk state and must round-trip."""
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+    from lbfgs_ffnn_tpu.solvers.lbfgs import lbfgs_chunked
+
+    spec = mlp_spec([6, 8, 3], ["relu", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (24, 6), dtype=jnp.float64)
+    y = jax.nn.one_hot(jnp.arange(24) % 3, 3, dtype=jnp.float64)
+    opts = LBFGSOptions(max_iters=30, tol=1e-12, m=4, line_search="armijo")
+
+    res_full, _ = lbfgs_chunked(prob, w0, aux=(x, y), opts=opts, chunk=5)
+
+    saved = {}
+
+    def cb(state, elapsed):
+        if int(state.k) == 10 and not saved:
+            save_checkpoint(tmp_path / "mid", state)
+            saved["tmpl"] = jax.tree_util.tree_map(jnp.zeros_like, state)
+
+    lbfgs_chunked(prob, w0, aux=(x, y), opts=opts, chunk=5, callback=cb)
+    assert saved
+    restored = restore_checkpoint(tmp_path / "mid", saved["tmpl"])
+    assert restored.prefix.shape == (24, 8)  # the carried A = x@W1+b1
+    res_resumed, _ = lbfgs_chunked(prob, None, aux=(x, y), opts=opts, chunk=5,
+                                   resume_state=restored)
+    np.testing.assert_allclose(
+        np.asarray(res_resumed.x), np.asarray(res_full.x), rtol=1e-10
+    )

@@ -186,3 +186,49 @@ def test_mlp_line_fun_matches_full_objective():
         float(r1(jnp.float64(0.7))), float(spec1.fun(w1 + 0.7 * p1, (x1, y1))),
         rtol=1e-12,
     )
+
+
+def test_mlp_line_prefix_matches_line_fun_and_objective():
+    """The carried-prefix protocol (init/direction/restrict) must agree with
+    the per-call line_fun and the full objective, including after a
+    simulated accepted step P += alpha*B (the solver-side update)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+
+    spec = mlp_spec([7, 5, 3], ["relu", "linear"])
+    prob = mlp_problem(spec)
+    lp = prob.line_prefix
+    assert lp is not None
+    w = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+    p = jax.random.normal(jax.random.PRNGKey(1), w.shape, dtype=jnp.float64)
+    aux = (
+        jax.random.normal(jax.random.PRNGKey(2), (16, 7), dtype=jnp.float64),
+        jax.random.normal(jax.random.PRNGKey(3), (16, 3), dtype=jnp.float64),
+    )
+    P = lp.init(w, aux)
+    B = lp.direction(p, aux)
+    va = lp.restrict(P, B, w, p, aux)
+    for a in (0.0, 1.0, 0.37):
+        np.testing.assert_allclose(
+            float(va(jnp.float64(a))), float(prob.fun(w + a * p, aux)), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            float(va(jnp.float64(a))),
+            float(prob.line_fun(w, p, aux)(jnp.float64(a))), rtol=1e-12,
+        )
+
+    # simulate accepting alpha: w' = w + alpha*p, P' = P + alpha*B; a new
+    # direction q restricted at P' must equal the objective at w' + b*q
+    alpha = 0.6
+    w2 = w + alpha * p
+    P2 = jax.tree_util.tree_map(lambda x_, b_: x_ + alpha * b_, P, B)
+    q = jax.random.normal(jax.random.PRNGKey(4), w.shape, dtype=jnp.float64)
+    Bq = lp.direction(q, aux)
+    va2 = lp.restrict(P2, Bq, w2, q, aux)
+    for b in (0.25, 1.0):
+        np.testing.assert_allclose(
+            float(va2(jnp.float64(b))), float(prob.fun(w2 + b * q, aux)),
+            rtol=1e-12,
+        )
