@@ -62,12 +62,14 @@ opts = LBFGSOptions(max_iters=args.iters, tol=1e-10, m=100, ls_max_iters=100,
 # dispatch cache, a TPU-tunnel-only concern) so the timed run measures
 # execution only. Off-TPU a full warm solve would double hours-long f64 runs
 # for nothing — compilation there is a negligible slice of the wall time.
-if jax.default_backend() == "tpu":
+warmed = jax.default_backend() == "tpu"
+if warmed:
     _ = float(lbfgs(prob, w0 * (1.0 + 1e-6) + 1e-7, aux=pts, opts=opts).final_loss)
 t0 = time.perf_counter()
 res = lbfgs(prob, w0, aux=pts, opts=opts)
 loss = float(res.final_loss)
-print(f"Training Time: {time.perf_counter() - t0:.1f}s  "
+label = "Training Time" if warmed else "Training Time (incl. compile)"
+print(f"{label}: {time.perf_counter() - t0:.1f}s  "
       f"iters={int(res.n_iters)} loss={loss:.6g} ||g||={float(res.final_gnorm):.3g}")
 
 with open("burgers_test_extrapolation.csv", "w") as f:

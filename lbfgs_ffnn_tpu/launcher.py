@@ -236,7 +236,12 @@ class Launcher:
         # wolfe = 50 (reference CPU, full_batch_minimizer.hpp), armijo = 20
         # (reference CUDA, minimizer_base.cuh), batched ladder = 24 (3 rounds
         # of 8).
-        ls_max = {"wolfe": 50, "armijo": 20, "armijo_batched": 24}[ls]
+        budgets = {"wolfe": 50, "armijo": 20, "armijo_batched": 24}
+        if ls not in budgets:
+            raise ValueError(
+                f"unknown line_search {ls!r}; expected one of {sorted(budgets)}"
+            )
+        ls_max = budgets[ls]
         return LBFGSOptions(
             max_iters=c.max_iters, tol=c.tolerance,
             m=c.m_param if c.m_param > 0 else 10,

@@ -10,6 +10,8 @@
 //
 // All functions return 0 on success, negative error codes otherwise.
 
+#include <atomic>
+#include <chrono>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -222,6 +224,7 @@ struct Streamer {
   std::mutex mu;
   std::condition_variable cv_produce, cv_consume;
   bool stop = false;
+  std::atomic<int> readers{0};  // consumers currently inside streamer_next
   std::thread worker;
 
   ~Streamer() {
@@ -314,16 +317,25 @@ int64_t streamer_create(const float *x, const float *y, int64_t n,
 
 // Blocking pop of the next prefetched batch into caller buffers sized
 // (batch, xdim) / (batch, ydim). Writes the actual sample count (< batch
-// only for a trailing partial batch) and the source epoch index.
+// only for a trailing partial batch) and the source epoch index. Rows past
+// `count` are zero-filled by the Python wrapper.
 int streamer_next(int64_t handle, float *xout, float *yout, int64_t *count,
                   int64_t *epoch) {
   Streamer *s;
   {
+    // Register as an in-flight reader UNDER the registry lock, so
+    // streamer_destroy (which waits for readers to drain before freeing)
+    // cannot destruct the mutex/CV this call is about to block on.
     std::lock_guard<std::mutex> lk(g_streamers_mu);
     auto it = g_streamers.find(handle);
     if (it == g_streamers.end()) return kErrArgs;
     s = it->second.get();
+    s->readers.fetch_add(1);
   }
+  struct ReaderGuard {
+    Streamer *s;
+    ~ReaderGuard() { s->readers.fetch_sub(1); }
+  } guard{s};
   std::unique_lock<std::mutex> lk(s->mu);
   s->cv_consume.wait(lk, [&] { return s->stop || s->filled > 0; });
   if (s->stop) return kErrArgs;
@@ -342,8 +354,27 @@ int streamer_next(int64_t handle, float *xout, float *yout, int64_t *count,
 }
 
 int streamer_destroy(int64_t handle) {
-  std::lock_guard<std::mutex> lk(g_streamers_mu);
-  return g_streamers.erase(handle) == 1 ? 0 : kErrArgs;
+  std::unique_ptr<Streamer> owned;
+  {
+    std::lock_guard<std::mutex> lk(g_streamers_mu);
+    auto it = g_streamers.find(handle);
+    if (it == g_streamers.end()) return kErrArgs;
+    owned = std::move(it->second);
+    g_streamers.erase(it);
+  }
+  // Wake any consumer blocked in streamer_next and wait for in-flight
+  // readers to drain before ~Streamer destroys the mutex/CV under them.
+  {
+    std::lock_guard<std::mutex> lk(owned->mu);
+    owned->stop = true;
+  }
+  owned->cv_consume.notify_all();
+  owned->cv_produce.notify_all();
+  while (owned->readers.load() != 0) {
+    std::this_thread::sleep_for(std::chrono::milliseconds(1));
+    owned->cv_consume.notify_all();
+  }
+  return 0;  // owned destructs here: joins the worker, frees the ring
 }
 
 }  // extern "C"

@@ -103,7 +103,14 @@ class BatchStreamer:
         )
         if rc != 0:
             raise RuntimeError(f"streamer_next failed: {rc}")
-        return xb, yb, int(count.value), int(epoch.value)
+        c = int(count.value)
+        if c < self.batch_size:
+            # The native side fills only the first `count` rows; zero the
+            # rest so masked consumers never touch uninitialized memory
+            # (NaN/Inf garbage survives mask-by-multiplication).
+            xb[c:] = 0.0
+            yb[c:] = 0.0
+        return xb, yb, c, int(epoch.value)
 
     def close(self) -> None:
         if self._handle is not None:

@@ -19,8 +19,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from lbfgs_ffnn_tpu.ops.linesearch import wolfe_line_search
-from lbfgs_ffnn_tpu.solvers.common import cached_jit_solve, finalize, init_history, record
+from lbfgs_ffnn_tpu.solvers.common import (
+    cached_jit_solve, finalize, init_history, lean_gate, record,
+    wolfe_with_counters,
+)
 from lbfgs_ffnn_tpu.types import Problem, SolveResult
 
 
@@ -71,11 +73,7 @@ def _solve_linear(B, rhs, opts: BFGSOptions):
 
 
 def _build(problem: Problem, opts: BFGSOptions):
-    lean = (
-        opts.ls_value_only
-        if opts.ls_value_only is not None
-        else problem.line_fun is not None
-    )
+    lean = lean_gate(problem, opts.ls_value_only)
 
     def solve(x0, aux, B0):
         f0, g0 = problem.value_and_grad(x0, aux)
@@ -93,16 +91,8 @@ def _build(problem: Problem, opts: BFGSOptions):
         def body(s: _State) -> _State:
             p = _solve_linear(s.B, -s.g, opts)
             dg0 = jnp.vdot(s.g, p)
-            va = (
-                problem.line_fun(s.x, p, aux)
-                if (lean and problem.line_fun is not None) else None
-            )
-            ls = wolfe_line_search(
-                problem.value_and_grad, s.x, p, s.f, dg0, aux,
-                c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
-                max_iters=opts.ls_max_iters,
-                value=problem.fun if lean else None,
-                value_along=va,
+            ls, nf_add, ng_add = wolfe_with_counters(
+                problem, opts, s.x, p, s.f, dg0, aux, lean
             )
 
             def use_ls(_):
@@ -112,11 +102,6 @@ def _build(problem: Problem, opts: BFGSOptions):
                 return problem.value_and_grad(s.x + ls.alpha * p, aux)
 
             f_new, g_new = lax.cond(ls.evaluated, use_ls, reeval, None)
-            if lean:
-                nf_add, ng_add = ls.n_trials + 1, jnp.int32(1)
-            else:
-                one_more = jnp.where(ls.evaluated, 0, 1).astype(jnp.int32)
-                nf_add = ng_add = ls.n_trials + one_more
             step = ls.alpha * p
             x_new = s.x + step
             y = g_new - s.g

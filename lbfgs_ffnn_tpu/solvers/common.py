@@ -47,3 +47,39 @@ def finalize(x, k, converged, loss, gnorm, loss_h, gnorm_h, metric_h=None,
         n_fevals=n_fevals,
         n_gevals=n_gevals,
     )
+
+
+def lean_gate(problem, ls_value_only):
+    """Shared lean-trial auto-detection for the Wolfe-based solvers: lean
+    when the problem carries a cheap line restriction in either form."""
+    if ls_value_only is not None:
+        return ls_value_only
+    return problem.line_fun is not None or problem.line_prefix is not None
+
+
+def wolfe_with_counters(problem, opts, x, p, f0, dg0, aux, lean):
+    """Run the Wolfe search (lean trials through ``line_fun`` when present)
+    and return ``(ls, nf_add, ng_add)`` with the eval-counter increments.
+    The accounting: lean = n_trials jvp fevals + one value_and_grad at the
+    accepted point (or the caller's re-evaluation on failure); fused = every
+    trial is a value_and_grad, plus one more if the search exhausted
+    unevaluated."""
+    from lbfgs_ffnn_tpu.ops.linesearch import wolfe_line_search
+
+    va = (
+        problem.line_fun(x, p, aux)
+        if (lean and problem.line_fun is not None) else None
+    )
+    ls = wolfe_line_search(
+        problem.value_and_grad, x, p, f0, dg0, aux,
+        c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
+        max_iters=opts.ls_max_iters,
+        value=problem.fun if lean else None,
+        value_along=va,
+    )
+    if lean:
+        nf_add, ng_add = ls.n_trials + 1, jnp.int32(1)
+    else:
+        one_more = jnp.where(ls.evaluated, 0, 1).astype(jnp.int32)
+        nf_add = ng_add = ls.n_trials + one_more
+    return ls, nf_add, ng_add

@@ -18,8 +18,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from lbfgs_ffnn_tpu.ops.linesearch import wolfe_line_search
-from lbfgs_ffnn_tpu.solvers.common import cached_jit_solve, finalize, init_history, record
+from lbfgs_ffnn_tpu.solvers.common import (
+    cached_jit_solve, finalize, init_history, lean_gate, record,
+    wolfe_with_counters,
+)
 from lbfgs_ffnn_tpu.types import Problem, SolveResult
 
 
@@ -53,11 +55,7 @@ class _State(NamedTuple):
 
 
 def _build(problem: Problem, opts: GDOptions):
-    lean = (
-        opts.ls_value_only
-        if opts.ls_value_only is not None
-        else problem.line_fun is not None
-    )
+    lean = lean_gate(problem, opts.ls_value_only)
 
     def solve(x0, aux):
         f0, g0 = problem.value_and_grad(x0, aux)
@@ -87,16 +85,8 @@ def _build(problem: Problem, opts: GDOptions):
                 v = s.v
                 if opts.use_line_search:
                     dg0 = jnp.vdot(s.g, -s.g)
-                    va = (
-                        problem.line_fun(s.x, -s.g, aux)
-                        if (lean and problem.line_fun is not None) else None
-                    )
-                    ls = wolfe_line_search(
-                        problem.value_and_grad, s.x, -s.g, s.f, dg0, aux,
-                        c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
-                        max_iters=opts.ls_max_iters,
-                        value=problem.fun if lean else None,
-                        value_along=va,
+                    ls, nf_ls, ng_ls = wolfe_with_counters(
+                        problem, opts, s.x, -s.g, s.f, dg0, aux, lean
                     )
                     alpha = ls.alpha
                 else:
@@ -114,11 +104,7 @@ def _build(problem: Problem, opts: GDOptions):
                     lambda _: problem.value_and_grad(x_new, aux),
                     None,
                 )
-                if lean:
-                    nf_add, ng_add = ls.n_trials + 1, jnp.int32(1)
-                else:
-                    one_more = jnp.where(ls.evaluated, 0, 1).astype(jnp.int32)
-                    nf_add = ng_add = ls.n_trials + one_more
+                nf_add, ng_add = nf_ls, ng_ls
             gnorm_new = jnp.linalg.norm(g_new)
             loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
             return _State(

@@ -206,33 +206,40 @@ def sgd_streaming(
         return w + v_new, v_new, loss
 
     w = jnp.asarray(w0)
+    if opts.epochs <= 0:
+        zero_h = jnp.zeros((0,), dtype=w.dtype)
+        return SolveResult(
+            x=w, n_iters=jnp.int32(0), converged=jnp.array(False),
+            final_loss=jnp.asarray(jnp.nan, dtype=w.dtype),
+            final_gnorm=jnp.asarray(jnp.nan, dtype=w.dtype),
+            loss_history=zero_h, gnorm_history=zero_h,
+        )
     v = jnp.zeros_like(w)
     lr = jnp.asarray(opts.step_size, dtype=w.dtype)
     b = streamer.batch_size
     loss_h = jnp.full((opts.epochs,), jnp.nan, dtype=w.dtype)
     last_loss = jnp.asarray(jnp.nan, dtype=w.dtype)
-    epoch_steps = 0
-    epochs_done = 0
-    while epochs_done < opts.epochs:
+    cur_epoch = 0
+    last_trained = None  # (xb, yb, mask) of the last step taken
+    while True:
         xb, yb, count, epoch = streamer.next()
-        if epoch >= opts.epochs:
-            break
-        mask = (jnp.arange(b) < count).astype(w.dtype)
-        w, v, last_loss = step(w, v, lr, jnp.asarray(xb), jnp.asarray(yb), mask)
-        epoch_steps += 1
-        # epoch boundary: the streamer labels each batch with its epoch
-        nxt_is_new_epoch = (epoch_steps * b >= streamer.n) if streamer.drop_last \
-            else (epoch_steps * b >= streamer.n or count < b)
-        if nxt_is_new_epoch:
-            loss_h = loss_h.at[epochs_done].set(last_loss)
-            epochs_done += 1
-            epoch_steps = 0
-            if opts.lr_decay_step > 0 and epochs_done % opts.lr_decay_step == 0:
+        if epoch != cur_epoch:
+            # The streamer labels every batch with its source epoch — the
+            # authoritative boundary for both drop_last modes.
+            loss_h = loss_h.at[cur_epoch].set(last_loss)
+            cur_epoch = epoch
+            if opts.lr_decay_step > 0 and epoch % opts.lr_decay_step == 0:
                 lr = lr * opts.lr_decay
-    gnorm = jnp.linalg.norm(problem.grad_masked(
-        w, jnp.asarray(xb), jnp.asarray(yb), mask))
+            if epoch >= opts.epochs:
+                break
+        mask = (jnp.arange(b) < count).astype(w.dtype)
+        xb_j, yb_j = jnp.asarray(xb), jnp.asarray(yb)
+        w, v, last_loss = step(w, v, lr, xb_j, yb_j, mask)
+        last_trained = (xb_j, yb_j, mask)
+    xb_j, yb_j, mask = last_trained
+    gnorm = jnp.linalg.norm(problem.grad_masked(w, xb_j, yb_j, mask))
     return SolveResult(
-        x=w, n_iters=jnp.int32(epochs_done), converged=jnp.array(False),
+        x=w, n_iters=jnp.int32(opts.epochs), converged=jnp.array(False),
         final_loss=last_loss, final_gnorm=gnorm,
         loss_history=loss_h, gnorm_history=jnp.full_like(loss_h, jnp.nan),
     )

@@ -184,7 +184,9 @@ def make_batch_problem(
 
     def fun_masked(w, xb, yb, mask):
         ls = per_sample(w, xb, yb)
-        loss = jnp.sum(ls * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+        # where, not multiply: masked-out rows may hold padding whose loss is
+        # NaN/Inf (NaN*0 = NaN would poison the mean).
+        loss = jnp.sum(jnp.where(mask > 0, ls, 0.0)) / jnp.maximum(jnp.sum(mask), 1.0)
         return loss + reg(w) if reg is not None else loss
 
     return BatchProblem(

@@ -100,3 +100,59 @@ def test_streamer_rejects_bad_args():
     with BatchStreamer(x, y, batch_size=64, seed=0) as st:
         xb, yb, count, epoch = st.next()
         assert count == 8 and st.batch_size == 8
+
+
+def test_streamer_partial_batch_tail_is_zeroed():
+    """Rows past `count` in a trailing partial batch must be zero, not
+    uninitialized memory (they flow into masked losses)."""
+    n, b = 10, 4
+    x, y = _dataset(n)
+    x += 1.0  # make all real rows nonzero
+    y += 1.0
+    with BatchStreamer(x, y, b, seed=5) as st:
+        if not st.native:
+            pytest.skip("native runtime unavailable")
+        for _ in range(3):
+            xb, yb, count, _ = st.next()
+            if count < b:
+                assert (xb[count:] == 0).all()
+                assert (yb[count:] == 0).all()
+                break
+        else:
+            pytest.fail("no partial batch seen")
+
+
+@pytest.mark.parametrize("drop_last", [False, True])
+def test_sgd_streaming_epoch_count_indivisible(drop_last):
+    """Epoch accounting must follow the streamer's epoch labels even when
+    n % batch != 0 (the trailing-batch / drop_last corner)."""
+    import jax.numpy as jnp
+    from lbfgs_ffnn_tpu.solvers import SGDOptions
+    from lbfgs_ffnn_tpu.solvers.sgd import sgd_streaming
+    from lbfgs_ffnn_tpu.types import make_batch_problem
+
+    rng = np.random.default_rng(1)
+    n, d = 22, 3  # 22 % 8 != 0
+    w_true = np.array([0.5, 1.0, -1.5], np.float32)
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    y = (x @ w_true)[:, None].astype(np.float32)
+    prob = make_batch_problem(lambda w, xb, yb: 0.5 * (xb @ w - yb[:, 0]) ** 2)
+    with BatchStreamer(x, y, batch_size=8, seed=2, drop_last=drop_last) as st:
+        res = sgd_streaming(prob, jnp.zeros(d), st,
+                            SGDOptions(epochs=80, step_size=0.15))
+    assert int(res.n_iters) == 80
+    assert np.isfinite(np.asarray(res.loss_history)).all()
+    np.testing.assert_allclose(np.asarray(res.x), w_true, atol=0.1)
+
+
+def test_sgd_streaming_zero_epochs():
+    import jax.numpy as jnp
+    from lbfgs_ffnn_tpu.solvers import SGDOptions
+    from lbfgs_ffnn_tpu.solvers.sgd import sgd_streaming
+    from lbfgs_ffnn_tpu.types import make_batch_problem
+
+    x, y = _dataset(8)
+    prob = make_batch_problem(lambda w, xb, yb: 0.5 * (xb @ w - yb[:, 0]) ** 2)
+    with BatchStreamer(x, y, 4, seed=0) as st:
+        res = sgd_streaming(prob, jnp.zeros(5), st, SGDOptions(epochs=0))
+    assert int(res.n_iters) == 0
