@@ -174,8 +174,17 @@ def mlp_loss(
     return loss
 
 
-def mlp_problem(spec: MLPSpec, lam: float = 0.0, compute_dtype=None) -> Problem:
+def mlp_problem(
+    spec: MLPSpec, lam: float = 0.0, compute_dtype=None, remat: bool = False,
+) -> Problem:
     """Full-batch Problem; ``aux = (x, y)``.
+
+    ``remat=True`` wraps the loss in ``jax.checkpoint``: the backward pass
+    recomputes activations instead of storing them — trades ~one extra
+    forward of FLOPs for O(batch x width) less HBM during the gradient.
+    Irrelevant at MNIST scale; the switch exists for models whose
+    activations would not fit (gradients are bitwise-equivalent
+    mathematically, checked in tests).
 
     Includes a ``line_fun`` restriction: along a fixed direction ``p`` the
     first-layer preactivation is affine in the step length,
@@ -191,6 +200,9 @@ def mlp_problem(spec: MLPSpec, lam: float = 0.0, compute_dtype=None) -> Problem:
     def fun(w, aux):
         x, y = aux
         return mlp_loss(spec, w, x, y, lam, compute_dtype)
+
+    if remat:
+        fun = jax.checkpoint(fun)
 
     w_off, b_off, d_in, d_out = next(iter(spec.layer_slices()))
     first_elems = d_in * d_out + d_out

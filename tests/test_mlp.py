@@ -232,3 +232,25 @@ def test_mlp_line_prefix_matches_line_fun_and_objective():
             float(va2(jnp.float64(b))), float(prob.fun(w2 + b * q, aux)),
             rtol=1e-12,
         )
+
+
+def test_mlp_problem_remat_grads_match():
+    """remat=True must give the same loss and gradient (activations are
+    recomputed, not stored — numerics identical up to reassociation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+
+    spec = mlp_spec([7, 6, 3], ["tanh", "linear"])
+    plain = mlp_problem(spec)
+    rem = mlp_problem(spec, remat=True)
+    w = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+    aux = (
+        jax.random.normal(jax.random.PRNGKey(1), (16, 7), dtype=jnp.float64),
+        jax.random.normal(jax.random.PRNGKey(2), (16, 3), dtype=jnp.float64),
+    )
+    f0, g0 = plain.value_and_grad(w, aux)
+    f1, g1 = rem.value_and_grad(w, aux)
+    np.testing.assert_allclose(float(f0), float(f1), rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-12)
