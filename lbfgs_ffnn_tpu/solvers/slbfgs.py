@@ -275,12 +275,19 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
                     wt = wt - opts.step_size * d
                     wr = _vr_push(wr, wt)
 
+                    # Curvature-pair computation under the cond; the BIG
+                    # operand (the m x n curvature ring) stays OUTSIDE —
+                    # lax.cond operands can force whole-buffer copies per
+                    # step, so only the small (s_vec, y, rho, accept)
+                    # results cross the boundary and the ring is updated by
+                    # one unconditional masked ring_push.
+                    do_update = (t > 0) & (t % opts.L == 0)
+
                     def curvature(args):
-                        hist, u_prev, has_u = args
+                        u_prev, has_u = args
                         u = _vr_mean(wr)
 
-                        def with_pair(args):
-                            hist, = args
+                        def with_pair(_):
                             s_vec = u - u_prev
                             yv = ops.hvp(u, s_vec, jax.random.fold_in(k_t, 1))
                             ys = jnp.vdot(yv, s_vec)
@@ -291,15 +298,25 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
                                 gate = opts.curvature_eps
                             accept = jnp.abs(ys) > gate
                             rho = jnp.where(accept, 1.0 / jnp.where(ys == 0, 1.0, ys), 0.0)
-                            return (ring_push(hist, s_vec, yv, rho, accept),)
+                            return s_vec, yv, rho, accept
 
-                        (hist,) = lax.cond(has_u, with_pair, lambda a: a, (hist,))
-                        return hist, u, jnp.array(True)
+                        def no_pair(_):
+                            z = jnp.zeros_like(wt)
+                            return z, z, jnp.zeros((), wt.dtype), jnp.array(False)
 
-                    do_update = (t > 0) & (t % opts.L == 0)
-                    hist, u_prev, has_u = lax.cond(
-                        do_update, curvature, lambda a: a, (hist, u_prev, has_u)
+                        s_vec, yv, rho, accept = lax.cond(has_u, with_pair, no_pair, None)
+                        return s_vec, yv, rho, accept, u, jnp.array(True)
+
+                    def skip(args):
+                        u_prev, has_u = args
+                        z = jnp.zeros_like(wt)
+                        return (z, z, jnp.zeros((), wt.dtype), jnp.array(False),
+                                u_prev, has_u)
+
+                    s_vec, yv, rho, accept, u_prev, has_u = lax.cond(
+                        do_update, curvature, skip, (u_prev, has_u)
                     )
+                    hist = ring_push(hist, s_vec, yv, rho, accept & do_update)
                     return (wt, hist, wr, u_prev, has_u), None
 
                 (wt, hist, wr, u_prev, has_u), _ = lax.scan(
