@@ -244,6 +244,40 @@ def mlp_problem(
         x, _ = aux
         return restrict(_first_affine(w, x), _first_affine(p, x), w, p, aux)
 
+    def vag_restrict(A, B, w, p, aux):
+        """Full (loss, grad) at ``w + alpha*p`` computed FROM the prefix:
+        the forward never recomputes ``x @ W1`` (z1 = A + alpha*B), and the
+        first layer's gradient is assembled manually as dW1 = x^T dz1,
+        db1 = sum(dz1) — the input matrix is read once (backward only)
+        instead of twice."""
+        x, y = aux
+
+        def value_and_grad_at(alpha):
+            z1 = A + alpha * B
+            w_rest = w[first_elems:] + alpha * p[first_elems:]
+
+            def from_z1(w_r, z1_):
+                h = act0(z1_)
+                out = (
+                    mlp_apply(rest_spec, w_r, h, compute_dtype)
+                    if rest_spec is not None else h
+                )
+                diff = out - y
+                return 0.5 * jnp.sum(diff * diff) / x.shape[0]
+
+            loss, vjp_fn = jax.vjp(from_z1, w_rest, z1)
+            g_rest, dz1 = vjp_fn(jnp.ones_like(loss))
+            gW1 = jnp.dot(x.T, dz1, preferred_element_type=x.dtype)
+            gb1 = jnp.sum(dz1, axis=0)
+            g = jnp.concatenate([gW1.ravel(), gb1, g_rest])
+            if lam:
+                wa = w + alpha * p
+                loss = loss + 0.5 * lam * jnp.vdot(wa, wa)
+                g = g + lam * wa
+            return loss, g
+
+        return value_and_grad_at
+
     # Carried form: A lives in the solver state and updates via A += alpha*B
     # (the first-layer preactivation is linear in w), so the per-iteration
     # cost drops to ONE first-layer matmul (for the new direction's B).
@@ -251,6 +285,7 @@ def mlp_problem(
         init=lambda w, aux: _first_affine(w, aux[0]),
         direction=lambda p, aux: _first_affine(p, aux[0]),
         restrict=restrict,
+        vag_restrict=vag_restrict,
     )
 
     return make_problem(fun, line_fun=line_fun, line_prefix=line_prefix)

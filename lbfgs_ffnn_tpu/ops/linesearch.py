@@ -55,6 +55,7 @@ def wolfe_line_search(
     alpha0: float = 1.0,
     value: Callable[..., jax.Array] | None = None,
     value_along: Callable[[jax.Array], jax.Array] | None = None,
+    vag_along: Callable[[jax.Array], tuple] | None = None,
 ) -> LineSearchResult:
     """Bracketing bisection Wolfe search.
 
@@ -149,6 +150,8 @@ def wolfe_line_search(
         # re-evaluates at the (unevaluated) post-update alpha itself, so skip
         # the extra pass entirely.
         def at_accept(_):
+            if vag_along is not None:
+                return c.f_new, vag_along(c.alpha)[1]
             return c.f_new, value_and_grad(x + c.alpha * p, aux)[1]
 
         def skip(_):
@@ -174,6 +177,7 @@ def armijo_batched_line_search(
     alpha0: jax.Array | float = 1.0,
     spec_k: int = 4,
     value_along: Callable[[jax.Array], jax.Array] | None = None,
+    vag_along: Callable[[jax.Array], tuple] | None = None,
 ) -> LineSearchResult:
     """Speculative batched Armijo backtracking (TPU-only policy, no
     reference counterpart).
@@ -242,7 +246,10 @@ def armijo_batched_line_search(
         )
 
     c = lax.while_loop(cond, body, c0)
-    f_new, g_new = value_and_grad(x + c.alpha * p, aux)
+    if vag_along is not None:
+        f_new, g_new = vag_along(c.alpha)
+    else:
+        f_new, g_new = value_and_grad(x + c.alpha * p, aux)
     return LineSearchResult(
         alpha=c.alpha, ok=c.ok, evaluated=jnp.array(True),
         f_new=f_new, g_new=g_new, n_trials=c.trials,
@@ -263,6 +270,7 @@ def armijo_quad_line_search(
     alpha0: jax.Array | float = 1.0,
     value: Callable[..., jax.Array] | None = None,
     value_along: Callable[[jax.Array], jax.Array] | None = None,
+    vag_along: Callable[[jax.Array], tuple] | None = None,
 ) -> LineSearchResult:
     """Armijo backtracking with safeguarded quadratic interpolation.
 
@@ -339,6 +347,8 @@ def armijo_quad_line_search(
     c = lax.while_loop(cond, body, c0)
     if fused:
         f_new, g_new = c.f_new, c.g_new
+    elif vag_along is not None:
+        f_new, g_new = vag_along(c.alpha_eval)
     else:
         f_new, g_new = value_and_grad(x + c.alpha_eval * p, aux)
     # alpha_eval was always evaluated (max_iters >= 1).

@@ -63,6 +63,11 @@ class LBFGSOptions(NamedTuple):
                                     # absolute 1e-10 gate is scale-sensitive)
     two_loop_impl: str = "xla"  # "xla" | "pallas"
     ls_spec_k: int = 4  # armijo_batched: candidates per batched forward
+    prefix_vag: bool = True  # use LinePrefix.vag_restrict for the accepted
+                             # point's value_and_grad (skips recomputing the
+                             # prefix matmul in the forward; carries the
+                             # prefix's rounding-noise-level drift into the
+                             # gradient — set False for a fresh gradient)
     ls_value_only: bool | None = None
     # Lean trials: armijo evaluates loss-only forwards; wolfe evaluates
     # (loss, g·p) via one forward-mode jvp; either way a single
@@ -150,15 +155,21 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
     use_prefix = _use_prefix(problem, opts)
 
     def make_va(s: _State, p, aux):
-        """(B, value_along): the carried-prefix restriction when available
-        (one first-layer matmul for B; A comes from the loop state), else
-        the per-iteration line_fun, else nothing."""
+        """(B, value_along, vag_along): the carried-prefix restriction when
+        available (one first-layer matmul for B; A comes from the loop
+        state), else the per-iteration line_fun, else nothing."""
         if use_prefix:
-            B = problem.line_prefix.direction(p, aux)
-            return B, problem.line_prefix.restrict(s.prefix, B, s.x, p, aux)
+            lp = problem.line_prefix
+            B = lp.direction(p, aux)
+            va = lp.restrict(s.prefix, B, s.x, p, aux)
+            vag = (
+                lp.vag_restrict(s.prefix, B, s.x, p, aux)
+                if (opts.prefix_vag and lp.vag_restrict is not None) else None
+            )
+            return B, va, vag
         if problem.line_fun is not None:
-            return None, problem.line_fun(s.x, p, aux)
-        return None, None
+            return None, problem.line_fun(s.x, p, aux), None
+        return None, None, None
 
     def body(s: _State, aux) -> _State:
         p = _direction(s.g, s.hist, opts)
@@ -181,13 +192,13 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
             # Structure-exploiting restriction f(x + a*p) when the problem
             # provides one (e.g. the MLP's affine first layer); only useful
             # for value-only trials.
-            B, va = make_va(s, p, aux)
+            B, va, vag = make_va(s, p, aux)
             if opts.line_search == "armijo_batched":
                 ls = armijo_batched_line_search(
                     problem.value_and_grad, s.x, p, s.f, dg0, aux,
                     value=problem.fun, c1=opts.c1, shrink=opts.ls_shrink,
                     max_iters=opts.ls_max_iters, alpha0=alpha0,
-                    spec_k=opts.ls_spec_k, value_along=va,
+                    spec_k=opts.ls_spec_k, value_along=va, vag_along=vag,
                 )
             else:
                 ls = armijo_quad_line_search(
@@ -196,6 +207,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                     max_iters=opts.ls_max_iters, alpha0=alpha0,
                     value=problem.fun if lean else None,
                     value_along=va if lean else None,
+                    vag_along=vag if lean else None,
                 )
             alpha, f_new, g_new = ls.alpha, ls.f_new, ls.g_new
             # History reset on line-search failure (cuda/lbfgs.cuh:147).
@@ -206,7 +218,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
             else:     # each trial is a fused value_and_grad
                 nf_add, ng_add = ls.n_trials, ls.n_trials
         else:
-            B, va0 = make_va(s, p, aux)
+            B, va0, vag0 = make_va(s, p, aux)
 
             # First-iteration heuristic step, no search
             # (reference: src/minimizer/lbfgs.hpp:61-65).
@@ -222,6 +234,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
                     max_iters=opts.ls_max_iters,
                     value=problem.fun if lean else None,
                     value_along=va0 if lean else None,
+                    vag_along=vag0 if lean else None,
                 )
                 if lean:
                     # jvp trials + one value_and_grad (at accept, or by the

@@ -44,6 +44,13 @@ class LinePrefix(NamedTuple):
     init: Callable[..., Any]
     direction: Callable[..., Any]
     restrict: Callable[..., Callable[[jax.Array], jax.Array]]
+    # Optional: ``vag_restrict(P, B, w, p, aux)(alpha) -> (loss, grad)`` —
+    # the full value_and_grad at ``w + alpha*p`` computed FROM the prefix
+    # (the forward never recomputes the prefix matmul; only the backward
+    # touches the raw input once). Carries the prefix's f32 drift into the
+    # gradient at rounding-noise level (~sqrt(iters)*eps relative) — see
+    # the class docstring; opt out with LBFGSOptions(prefix_vag=False).
+    vag_restrict: Optional[Callable[..., Callable]] = None
 
 
 class Problem(NamedTuple):

@@ -254,3 +254,35 @@ def test_mlp_problem_remat_grads_match():
     f1, g1 = rem.value_and_grad(w, aux)
     np.testing.assert_allclose(float(f0), float(f1), rtol=1e-14)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-12)
+
+
+def test_mlp_vag_restrict_matches_autodiff():
+    """The prefix-based value_and_grad (manual first-layer VJP) must equal
+    jax.value_and_grad at w + alpha*p exactly (f64)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+
+    for dims, acts, lam in (
+        ([7, 5, 3], ["relu", "linear"], 0.0),
+        ([7, 6, 4, 2], ["tanh", "sigmoid", "linear"], 1e-4),
+        ([4, 2], ["linear"], 0.0),  # single layer: rest_spec=None branch
+    ):
+        spec = mlp_spec(dims, acts)
+        prob = mlp_problem(spec, lam=lam)
+        lp = prob.line_prefix
+        w = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+        p = jax.random.normal(jax.random.PRNGKey(1), w.shape, dtype=jnp.float64)
+        aux = (
+            jax.random.normal(jax.random.PRNGKey(2), (12, dims[0]), dtype=jnp.float64),
+            jax.random.normal(jax.random.PRNGKey(3), (12, dims[-1]), dtype=jnp.float64),
+        )
+        vag = lp.vag_restrict(lp.init(w, aux), lp.direction(p, aux), w, p, aux)
+        for a in (0.0, 0.37, 1.0):
+            f_ref, g_ref = prob.value_and_grad(w + a * p, aux)
+            f, g = vag(jnp.float64(a))
+            np.testing.assert_allclose(float(f), float(f_ref), rtol=1e-13)
+            np.testing.assert_allclose(
+                np.asarray(g), np.asarray(g_ref), rtol=1e-11, atol=1e-14
+            )
