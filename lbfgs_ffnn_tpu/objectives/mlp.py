@@ -220,19 +220,26 @@ def mlp_problem(
                            preferred_element_type=x.dtype) + b
         return jnp.dot(x, W, preferred_element_type=x.dtype) + b
 
+    def _loss_from_z1(w_rest_alpha, z1, y, n_batch):
+        """Shared loss body for the restriction and its value_and_grad form —
+        one place owns the 0.5/batch convention and the rest-layer forward."""
+        h = act0(z1)
+        out = (
+            mlp_apply(rest_spec, w_rest_alpha, h, compute_dtype)
+            if rest_spec is not None else h
+        )
+        diff = out - y
+        return 0.5 * jnp.sum(diff * diff) / n_batch
+
     def restrict(A, B, w, p, aux):
         x, y = aux
         w_rest = w[first_elems:]
         p_rest = p[first_elems:]
 
         def value(alpha):
-            h = act0(A + alpha * B)
-            out = (
-                mlp_apply(rest_spec, w_rest + alpha * p_rest, h, compute_dtype)
-                if rest_spec is not None else h
+            loss = _loss_from_z1(
+                w_rest + alpha * p_rest, A + alpha * B, y, x.shape[0]
             )
-            diff = out - y
-            loss = 0.5 * jnp.sum(diff * diff) / x.shape[0]
             if lam:
                 wa = w + alpha * p
                 loss = loss + 0.5 * lam * jnp.vdot(wa, wa)
@@ -257,17 +264,17 @@ def mlp_problem(
             w_rest = w[first_elems:] + alpha * p[first_elems:]
 
             def from_z1(w_r, z1_):
-                h = act0(z1_)
-                out = (
-                    mlp_apply(rest_spec, w_r, h, compute_dtype)
-                    if rest_spec is not None else h
-                )
-                diff = out - y
-                return 0.5 * jnp.sum(diff * diff) / x.shape[0]
+                return _loss_from_z1(w_r, z1_, y, x.shape[0])
 
             loss, vjp_fn = jax.vjp(from_z1, w_rest, z1)
             g_rest, dz1 = vjp_fn(jnp.ones_like(loss))
-            gW1 = jnp.dot(x.T, dz1, preferred_element_type=x.dtype)
+            if compute_dtype is not None:
+                gW1 = jnp.dot(
+                    x.T.astype(compute_dtype), dz1.astype(compute_dtype),
+                    preferred_element_type=x.dtype,
+                )
+            else:
+                gW1 = jnp.dot(x.T, dz1, preferred_element_type=x.dtype)
             gb1 = jnp.sum(dz1, axis=0)
             g = jnp.concatenate([gW1.ravel(), gb1, g_rest])
             if lam:
@@ -285,7 +292,10 @@ def mlp_problem(
         init=lambda w, aux: _first_affine(w, aux[0]),
         direction=lambda p, aux: _first_affine(p, aux[0]),
         restrict=restrict,
-        vag_restrict=vag_restrict,
+        # vag_restrict stores the rest-layer activations for its backward —
+        # it would defeat remat's memory guarantee, so remat problems keep
+        # the checkpointed autodiff path for the accepted point.
+        vag_restrict=None if remat else vag_restrict,
     )
 
     return make_problem(fun, line_fun=line_fun, line_prefix=line_prefix)

@@ -33,12 +33,12 @@ class LinePrefix(NamedTuple):
     ``alpha`` updates it exactly as ``P <- P + alpha * B`` (an elementwise
     axpy the solver performs with ``jax.tree_util.tree_map``) — the ``init``
     matmul runs once per solve, not once per iteration. f32 drift of the
-    accumulated prefix is ~sqrt(iters)*eps. It influences line-search trial
-    values — including, on the Wolfe-lean path, the accepted trial's loss
-    (which feeds the next Armijo threshold and the loss history). The
-    gradient at the accepted point always comes from a fresh
-    ``value_and_grad``, so the optimization trajectory stays anchored to the
-    true objective.
+    accumulated prefix is ~sqrt(iters)*eps (rounding-noise level). It
+    influences line-search trial values and — when ``vag_restrict`` is used
+    (``LBFGSOptions(prefix_vag=True)``, the default) — the accepted point's
+    loss and gradient as well. Set ``prefix_vag=False`` to keep the accepted
+    point's ``value_and_grad`` fresh (trajectory anchored to the exact
+    objective) at the cost of recomputing the prefix matmul each iteration.
     """
 
     init: Callable[..., Any]

@@ -286,3 +286,13 @@ def test_mlp_vag_restrict_matches_autodiff():
             np.testing.assert_allclose(
                 np.asarray(g), np.asarray(g_ref), rtol=1e-11, atol=1e-14
             )
+
+
+def test_mlp_remat_problem_has_no_vag_restrict():
+    """remat=True must not attach vag_restrict (its backward stores the
+    rest-layer activations, defeating the memory guarantee)."""
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_problem, mlp_spec
+
+    spec = mlp_spec([7, 5, 3], ["relu", "linear"])
+    assert mlp_problem(spec).line_prefix.vag_restrict is not None
+    assert mlp_problem(spec, remat=True).line_prefix.vag_restrict is None
