@@ -9,6 +9,7 @@ can resume mid-optimization with the quasi-Newton memory intact.
 
 from __future__ import annotations
 
+import warnings
 from pathlib import Path
 from typing import Any
 
@@ -29,43 +30,104 @@ def save_checkpoint(path: str | Path, state: Any) -> None:
     ckptr.wait_until_finished()
 
 
-def restore_checkpoint(path: str | Path, template: Any) -> Any:
+def restore_checkpoint(path: str | Path, template: Any, *, allow_partial: bool = False) -> Any:
     """Restore into the structure of ``template`` (same pytree, any values).
 
     Migration shim: solver-state NamedTuples may gain fields between
     releases (e.g. the L-BFGS eval counters). If the saved tree's structure
-    doesn't match ``template``, the checkpoint is re-read template-free and
-    fields missing from it are filled with the template's values, so old
-    checkpoints stay resumable.
+    doesn't match ``template`` (and only then — other restore failures
+    propagate), the checkpoint is re-read template-free and fields missing
+    from it are filled with the template's values, so old checkpoints stay
+    resumable.
+
+    Template-filling is only safe for plain counters: a filled *array*
+    field (e.g. the L-BFGS carried line prefix) would be inconsistent with
+    the restored iterate and silently corrupt the resumed trajectory, so
+    that case raises unless ``allow_partial=True`` — and then the caller
+    must recompute the derived field before resuming
+    (``lbfgs_chunked(..., resume_state=...)`` does this automatically via
+    ``problem.line_prefix.init``). Filled scalar fields emit a warning
+    naming them.
     """
     path = Path(path).resolve()
     ckptr = _checkpointer()
     try:
         return ckptr.restore(path, template)
-    except Exception:
+    except (ValueError, TypeError, KeyError):
+        # Structure mismatch between the saved tree and the template — the
+        # one failure class the migration shim exists for. Anything else
+        # (I/O errors, corruption) propagates above.
         restored = ckptr.restore(path)
-        return _fill_from_template(template, restored)
+        filled: list[str] = []
+        out = _fill_from_template(template, restored, "", filled)
+        if filled:
+            non_scalar = [
+                p for p, is_scalar in filled_kinds(template, filled) if not is_scalar
+            ]
+            msg = (
+                f"checkpoint at {path} is missing fields filled from the "
+                f"template: {sorted(p for p in filled)}"
+            )
+            if non_scalar and not allow_partial:
+                raise ValueError(
+                    msg + f". Non-scalar fields {non_scalar} cannot be "
+                    "template-filled safely (a stale value would corrupt the "
+                    "resumed run) — recompute them from the restored state "
+                    "(e.g. prefix = problem.line_prefix.init(state.x, aux)) "
+                    "or pass allow_partial=True after doing so."
+                )
+            warnings.warn(msg, stacklevel=2)
+        return out
 
 
-def _fill_from_template(template: Any, restored: Any) -> Any:
+def filled_kinds(template: Any, paths: list[str]) -> list[tuple[str, bool]]:
+    """Classify each filled path as scalar-counter-like (ndim 0) or not."""
+    out = []
+    for p in paths:
+        node = template
+        ok = True
+        for part in p.split("/"):
+            if not part:
+                continue
+            if hasattr(node, "_fields") and part in node._fields:
+                node = getattr(node, part)
+            elif isinstance(node, dict) and part in node:
+                node = node[part]
+            elif isinstance(node, (list, tuple)) and part.isdigit():
+                node = node[int(part)]
+            else:
+                ok = False
+                break
+        is_scalar = ok and (np.ndim(node) == 0)
+        out.append((p, is_scalar))
+    return out
+
+
+def _fill_from_template(template: Any, restored: Any, path: str, filled: list[str]) -> Any:
     """Overlay ``restored`` (nested dicts/lists from a template-free Orbax
-    read) onto ``template``, keeping template values for missing fields."""
+    read) onto ``template``, keeping template values for missing fields and
+    recording their paths in ``filled``."""
     if hasattr(template, "_fields"):  # NamedTuple
         vals = {}
         for fname in template._fields:
             tv = getattr(template, fname)
+            sub = f"{path}/{fname}"
             if isinstance(restored, dict) and fname in restored:
-                vals[fname] = _fill_from_template(tv, restored[fname])
+                vals[fname] = _fill_from_template(tv, restored[fname], sub, filled)
             else:
                 vals[fname] = tv
+                filled.append(sub)
         return type(template)(**vals)
     if isinstance(template, dict):
-        return {
-            k: _fill_from_template(v, restored[k])
-            if isinstance(restored, dict) and k in restored
-            else v
-            for k, v in template.items()
-        }
+        out = {}
+        for k, v in template.items():
+            sub = f"{path}/{k}"
+            if isinstance(restored, dict) and k in restored:
+                out[k] = _fill_from_template(v, restored[k], sub, filled)
+            else:
+                out[k] = v
+                filled.append(sub)
+        return out
     if isinstance(template, (list, tuple)):
         if isinstance(restored, (list, tuple, dict)):
             seq = (
@@ -75,10 +137,15 @@ def _fill_from_template(template: Any, restored: Any) -> Any:
             )
             if len(seq) == len(template):
                 return type(template)(
-                    _fill_from_template(t, r) for t, r in zip(template, seq)
+                    _fill_from_template(t, r, f"{path}/{i}", filled)
+                    for i, (t, r) in enumerate(zip(template, seq))
                 )
+        filled.append(path)
         return template
-    return restored if restored is not None else template
+    if restored is None:
+        filled.append(path)
+        return template
+    return restored
 
 
 def save_weights_npz(path: str | Path, weights) -> None:

@@ -29,6 +29,7 @@ params; the wrapper falls back to the XLA implementation above that.
 from __future__ import annotations
 
 import functools
+import warnings
 
 import jax
 import jax.numpy as jnp
@@ -254,6 +255,30 @@ def _two_loop_pallas_padded(
     return out.reshape(n_pad)
 
 
+def pallas_dispatch(n_pad: int, m: int, dtype) -> tuple[str, str]:
+    """Which implementation :func:`two_loop_pallas` will use for a history of
+    padded row length ``n_pad`` / capacity ``m`` / ``dtype``.
+
+    Returns ``(impl, reason)`` with ``impl`` one of ``"pallas-resident"``,
+    ``"pallas-streaming"``, ``"xla"``. Lets callers (and tests) check for a
+    silent policy substitution up front.
+    """
+    if jnp.dtype(dtype) != jnp.float32:
+        return "xla", f"dtype {jnp.dtype(dtype).name} != float32"
+    if n_pad > _VMEM_ROW_LIMIT:
+        return (
+            "xla",
+            f"padded row length {n_pad} > VMEM budget {_VMEM_ROW_LIMIT} "
+            "f32 elements (6 row buffers must fit in ~16 MB VMEM)",
+        )
+    if m * n_pad <= _VMEM_RESIDENT_LIMIT:
+        return "pallas-resident", ""
+    return "pallas-streaming", ""
+
+
+_FALLBACK_WARNED: set[tuple[int, int, str]] = set()
+
+
 def two_loop_pallas(
     v: jax.Array,
     hist: RingState,
@@ -266,11 +291,23 @@ def two_loop_pallas(
 
     Dispatches to the fused kernel when the row size fits the VMEM budget
     (interpreted off-TPU so unit tests exercise the same kernel logic);
-    falls back to the XLA implementation otherwise.
+    falls back to the XLA implementation otherwise — warning once per
+    (m, n, dtype) so a solver configured with ``two_loop_impl="pallas"``
+    never silently substitutes the policy (use :func:`pallas_dispatch` to
+    check ahead of time).
     """
     m, n_pad = hist.S.shape
     n = v.shape[0]
-    if n_pad > _VMEM_ROW_LIMIT or v.dtype not in (jnp.float32, jnp.dtype("float32")):
+    impl, reason = pallas_dispatch(n_pad, m, v.dtype)
+    if impl == "xla":
+        key = (m, n_pad, jnp.dtype(v.dtype).name)
+        if key not in _FALLBACK_WARNED:
+            _FALLBACK_WARNED.add(key)
+            warnings.warn(
+                f"two_loop_pallas falling back to the XLA implementation "
+                f"for (m={m}, n_pad={n_pad}, dtype={key[2]}): {reason}",
+                stacklevel=2,
+            )
         return two_loop(v, hist, clamp_gamma=clamp_gamma,
                         gamma_min=gamma_min, gamma_max=gamma_max)
     if n == n_pad:

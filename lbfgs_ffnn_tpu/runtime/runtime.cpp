@@ -220,7 +220,14 @@ struct Streamer {
     int64_t epoch = 0;    // epoch the batch came from
   };
   std::vector<Slot> ring;
-  size_t head = 0, tail = 0, filled = 0;  // producer writes head, consumer reads tail
+  // producer writes head, consumers read tail. `filled` gates the producer
+  // (slots occupied, including ones a consumer is mid-copy on); `ready`
+  // gates consumers (slots available to claim). The split makes pops
+  // multi-consumer safe: a consumer claims a slot (advance tail, --ready)
+  // under the mutex, copies it unlocked, and only then releases it to the
+  // producer (--filled), so two concurrent streamer_next calls can never
+  // claim the same slot and the producer can never overwrite an in-copy one.
+  size_t head = 0, tail = 0, filled = 0, ready = 0;
   std::mutex mu;
   std::condition_variable cv_produce, cv_consume;
   bool stop = false;
@@ -270,6 +277,7 @@ struct Streamer {
         lk.lock();
         head = (head + 1) % ring.size();
         ++filled;
+        ++ready;
         lk.unlock();
         cv_consume.notify_one();
       }
@@ -337,16 +345,20 @@ int streamer_next(int64_t handle, float *xout, float *yout, int64_t *count,
     ~ReaderGuard() { s->readers.fetch_sub(1); }
   } guard{s};
   std::unique_lock<std::mutex> lk(s->mu);
-  s->cv_consume.wait(lk, [&] { return s->stop || s->filled > 0; });
+  s->cv_consume.wait(lk, [&] { return s->stop || s->ready > 0; });
   if (s->stop) return kErrArgs;
+  // Claim the slot under the mutex (advance tail, --ready) BEFORE the
+  // unlocked copy: a concurrent streamer_next claims the next slot, never
+  // this one, and the producer won't reuse it until --filled below.
   Streamer::Slot &slot = s->ring[s->tail];
+  s->tail = (s->tail + 1) % s->ring.size();
+  --s->ready;
   lk.unlock();
   std::memcpy(xout, slot.xb.data(), sizeof(float) * slot.count * s->xdim);
   std::memcpy(yout, slot.yb.data(), sizeof(float) * slot.count * s->ydim);
   *count = slot.count;
   *epoch = slot.epoch;
   lk.lock();
-  s->tail = (s->tail + 1) % s->ring.size();
   --s->filled;
   lk.unlock();
   s->cv_produce.notify_one();

@@ -1,10 +1,23 @@
-"""Dense BFGS with a pluggable linear solver.
+"""BFGS with a pluggable linear solver and two storage modes.
 
-Maintains the full Hessian approximation ``B`` and solves ``B p = -g`` each
-iteration with a selectable solver — direct (LU), conjugate gradient, or
-GMRES — mirroring the reference's injectable Eigen solver (LDLT default,
-ConjugateGradient for sparse, GMRES injected in the test suite;
-reference: src/minimizer/bfgs.hpp:11-38, tests/main.cpp:265-269).
+``storage="dense"`` maintains the full Hessian approximation ``B`` and
+solves ``B p = -g`` each iteration with a selectable solver — direct (LU),
+conjugate gradient, or GMRES — mirroring the reference's injectable Eigen
+solver (LDLT default, ConjugateGradient for sparse, GMRES injected in the
+test suite; reference: src/minimizer/bfgs.hpp:11-38, tests/main.cpp:265-269).
+
+``storage="factors"`` is the TPU-native counterpart of the reference's
+*sparse-matrix* template instantiation (``BFGS<V, SparseMatrix,
+ConjugateGradient>``, src/minimizer/bfgs.hpp:11-14): ``B`` is never
+materialized. It is represented in factor form
+
+    B_k v = v + sum_j a_j (y_j . v) y_j - b_j ((B_j s_j) . v) (B_j s_j)
+
+with stacked ``(k, n)`` update vectors, so every matvec is two MXU matmuls
+and the linear system is solved matrix-free by CG/GMRES. Memory grows as
+O(iters * n) instead of O(n^2) — the regime where a dense ``B`` cannot
+exist (the same regime Eigen's sparse+CG instantiation targets). The two
+modes produce identical trajectories (same rank-2 update, exactly summed).
 
 Rank-2 update: ``B += y y^T/(y^T s) - (Bs)(Bs)^T/(s^T B s)``
 (reference: src/minimizer/bfgs.hpp:76-77). Like the reference, no damping or
@@ -30,6 +43,9 @@ class BFGSOptions(NamedTuple):
     max_iters: int = 1000
     tol: float = 1e-10
     linear_solver: str = "direct"  # "direct" | "cg" | "gmres"
+    storage: str = "dense"  # "dense" (materialized B) | "factors"
+                            # (matrix-free rank-2 factor stack; requires an
+                            # iterative linear_solver, cg or gmres)
     solver_tol: float = 1e-12
     solver_max_iters: int = 10000
     ls_max_iters: int = 50
@@ -55,24 +71,62 @@ class _State(NamedTuple):
     ng: jax.Array
 
 
-def _solve_linear(B, rhs, opts: BFGSOptions):
-    if opts.linear_solver == "direct":
-        return jnp.linalg.solve(B, rhs)
+class _Factors(NamedTuple):
+    """Matrix-free representation of the BFGS matrix: B = I + sum of the
+    rank-2 updates, stored as stacked update vectors. Rows past the current
+    iteration are zero (with zero coefficients), so no masking is needed."""
+
+    U: jax.Array  # (cap, n): y_j vectors
+    V: jax.Array  # (cap, n): (B_j s_j) vectors
+    a: jax.Array  # (cap,): 1 / (y_j^T s_j)
+    b: jax.Array  # (cap,): 1 / (s_j^T B_j s_j)
+
+
+def _factors_empty(cap: int, n: int, dtype) -> _Factors:
+    return _Factors(
+        U=jnp.zeros((cap, n), dtype=dtype),
+        V=jnp.zeros((cap, n), dtype=dtype),
+        a=jnp.zeros((cap,), dtype=dtype),
+        b=jnp.zeros((cap,), dtype=dtype),
+    )
+
+
+def _factor_matvec(F: _Factors, v: jax.Array) -> jax.Array:
+    # Two (cap, n) matmuls — MXU work, no n^2 anywhere.
+    return v + (F.a * (F.U @ v)) @ F.U - (F.b * (F.V @ v)) @ F.V
+
+
+def _solve_iterative(matvec, rhs, opts: BFGSOptions):
     if opts.linear_solver == "cg":
         sol, _ = jax.scipy.sparse.linalg.cg(
-            lambda u: B @ u, rhs, tol=opts.solver_tol, maxiter=opts.solver_max_iters
+            matvec, rhs, tol=opts.solver_tol, maxiter=opts.solver_max_iters
         )
         return sol
     if opts.linear_solver == "gmres":
         sol, _ = jax.scipy.sparse.linalg.gmres(
-            lambda u: B @ u, rhs, tol=opts.solver_tol,
+            matvec, rhs, tol=opts.solver_tol,
             maxiter=opts.solver_max_iters, solve_method="batched",
         )
         return sol
     raise ValueError(f"unknown linear_solver {opts.linear_solver!r}")
 
 
+def _solve_linear(B, rhs, opts: BFGSOptions):
+    if opts.linear_solver == "direct":
+        return jnp.linalg.solve(B, rhs)
+    return _solve_iterative(lambda u: B @ u, rhs, opts)
+
+
 def _build(problem: Problem, opts: BFGSOptions):
+    if opts.storage not in ("dense", "factors"):
+        raise ValueError(f"unknown storage {opts.storage!r}")
+    if opts.storage == "factors" and opts.linear_solver == "direct":
+        raise ValueError(
+            "storage='factors' never materializes B; use an iterative "
+            "linear_solver ('cg' or 'gmres'), matching the reference's "
+            "sparse+ConjugateGradient instantiation"
+        )
+    factors = opts.storage == "factors"
     lean = lean_gate(problem, opts.ls_value_only)
 
     def solve(x0, aux, B0):
@@ -89,7 +143,10 @@ def _build(problem: Problem, opts: BFGSOptions):
             return (s.k < opts.max_iters) & (s.gnorm > opts.tol)
 
         def body(s: _State) -> _State:
-            p = _solve_linear(s.B, -s.g, opts)
+            if factors:
+                p = _solve_iterative(lambda u: _factor_matvec(s.B, u), -s.g, opts)
+            else:
+                p = _solve_linear(s.B, -s.g, opts)
             dg0 = jnp.vdot(s.g, p)
             ls, nf_add, ng_add = wolfe_with_counters(
                 problem, opts, s.x, p, s.f, dg0, aux, lean
@@ -105,12 +162,23 @@ def _build(problem: Problem, opts: BFGSOptions):
             step = ls.alpha * p
             x_new = s.x + step
             y = g_new - s.g
-            Bs = s.B @ step
-            B_new = (
-                s.B
-                + jnp.outer(y, y) / jnp.vdot(y, step)
-                - jnp.outer(Bs, Bs) / jnp.vdot(step, Bs)
-            )
+            if factors:
+                # Same rank-2 update, appended in factor form: row k holds
+                # (y_k, B_k s_k) with coefficients 1/(y^T s), 1/(s^T B s).
+                Bs = _factor_matvec(s.B, step)
+                B_new = _Factors(
+                    U=s.B.U.at[s.k].set(y),
+                    V=s.B.V.at[s.k].set(Bs),
+                    a=s.B.a.at[s.k].set(1.0 / jnp.vdot(y, step)),
+                    b=s.B.b.at[s.k].set(1.0 / jnp.vdot(step, Bs)),
+                )
+            else:
+                Bs = s.B @ step
+                B_new = (
+                    s.B
+                    + jnp.outer(y, y) / jnp.vdot(y, step)
+                    - jnp.outer(Bs, Bs) / jnp.vdot(step, Bs)
+                )
             gnorm_new = jnp.linalg.norm(g_new)
             loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
             return _State(
@@ -135,5 +203,11 @@ def bfgs(
 ) -> SolveResult:
     opts = opts or BFGSOptions()
     n = x0.shape[0]
-    B0 = initial_hessian if initial_hessian is not None else jnp.eye(n, dtype=x0.dtype)
+    if opts.storage == "factors":
+        if initial_hessian is not None:
+            raise ValueError("storage='factors' starts from B0 = I; "
+                             "initial_hessian is dense-mode only")
+        B0 = _factors_empty(opts.max_iters, n, x0.dtype)
+    else:
+        B0 = initial_hessian if initial_hessian is not None else jnp.eye(n, dtype=x0.dtype)
     return cached_jit_solve(_build, problem, opts)(x0, aux, B0)

@@ -147,9 +147,12 @@ def _not_done(s: _State, opts: LBFGSOptions):
     return (s.k < opts.max_iters) & (s.gnorm >= opts.tol)
 
 
-def _make_body(problem: Problem, opts: LBFGSOptions):
+def _make_body(problem: Problem, opts: LBFGSOptions, direction=None):
     if opts.line_search not in ("wolfe", "armijo", "armijo_batched"):
         raise ValueError(f"unknown line_search {opts.line_search!r}")
+    if direction is None:
+        def direction(g, hist):
+            return _direction(g, hist, opts)
 
     lean = _lean(problem, opts)
     use_prefix = _use_prefix(problem, opts)
@@ -172,7 +175,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions):
         return None, None, None
 
     def body(s: _State, aux) -> _State:
-        p = _direction(s.g, s.hist, opts)
+        p = direction(s.g, s.hist)
         hist = s.hist
         dg0 = jnp.vdot(s.g, p)
 
@@ -303,10 +306,105 @@ def _build(problem: Problem, opts: LBFGSOptions):
     return solve
 
 
+def _build_param_sharded(problem: Problem, opts: LBFGSOptions, mesh, axis: str):
+    """Parameter-sharded L-BFGS: the model axis of every large vector — the
+    iterate, gradient, direction, and the (S, Y) curvature ring — is sharded
+    over ``mesh``; scalars (f, alpha, rho, gamma, ring indices, histories)
+    stay replicated. Every inner product of the two-loop recursion is a
+    per-shard partial dot + one ``psum`` over ICI (``two_loop_sharded``);
+    line-search and update axpys stay shard-local (GSPMD keeps elementwise
+    ops on the operands' sharding). This is the model-parallel complement of
+    the batch-sharded gradient path, for when the m x n curvature history
+    exceeds one chip's HBM — no reference counterpart (it is single-device
+    only); SURVEY.md §2.6's parameter-axis ambition.
+
+    The solver runs in tile-padded parameter space (n rounded up to the
+    8x128 f32 tile, matching the ring rows), so shards are even; the
+    objective sees the unpadded slice and gradients are zero-padded back.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lbfgs_ffnn_tpu.ops.two_loop import _pad_to, _round_up, two_loop_sharded
+
+    if opts.two_loop_impl == "pallas":
+        raise ValueError(
+            "two_loop_impl='pallas' is a single-device kernel; the mesh mode "
+            "uses the psum-reduced sharded recursion (two_loop_impl='xla')"
+        )
+    ndev = mesh.shape[axis]
+    vec_s = NamedSharding(mesh, P(axis))
+    row_s = NamedSharding(mesh, P(None, axis))
+
+    def direction(g, hist):
+        return -two_loop_sharded(g, hist, mesh, axis)
+
+    def solve(x0, aux):
+        n = x0.shape[0]
+        n_pad = _round_up(n)
+        if n_pad % ndev:
+            raise ValueError(
+                f"padded parameter count {n_pad} must divide the mesh "
+                f"axis size {ndev}"
+            )
+
+        # The padded objective: evaluation sees the real n parameters;
+        # gradients come back zero-padded so all solver axpys/dots operate
+        # on even (n_pad,) shards. Padding lanes stay exactly zero through
+        # every update (their gradient, direction, and step are zero).
+        def fun_pad(w, aux):
+            return problem.fun(w[:n], aux)
+
+        def grad_pad(w, aux):
+            return _pad_to(problem.grad(w[:n], aux), n_pad)
+
+        def vag_pad(w, aux):
+            f, g = problem.value_and_grad(w[:n], aux)
+            return f, _pad_to(g, n_pad)
+
+        pp = Problem(fun=fun_pad, grad=grad_pad, value_and_grad=vag_pad)
+        body = _make_body(pp, opts, direction=direction)
+
+        def constrain(s: _State) -> _State:
+            sh = lambda a: lax.with_sharding_constraint(a, vec_s)
+            return s._replace(
+                x=sh(s.x), g=sh(s.g),
+                hist=s.hist._replace(
+                    S=lax.with_sharding_constraint(s.hist.S, row_s),
+                    Y=lax.with_sharding_constraint(s.hist.Y, row_s),
+                ),
+            )
+
+        x0p = lax.with_sharding_constraint(_pad_to(x0, n_pad), vec_s)
+        s0 = constrain(_init_state(pp, opts, x0p, aux))
+        s = lax.while_loop(
+            lambda s: _not_done(s, opts), lambda s: constrain(body(s, aux)), s0
+        )
+        res = _finalize_state(s, opts)
+        return res._replace(x=res.x[:n])
+
+    return solve
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_param_sharded(problem, opts, mesh, axis):
+    return jax.jit(_build_param_sharded(problem, opts, mesh, axis))
+
+
 def lbfgs(
-    problem: Problem, x0: jax.Array, aux: Any = (), opts: LBFGSOptions | None = None
+    problem: Problem,
+    x0: jax.Array,
+    aux: Any = (),
+    opts: LBFGSOptions | None = None,
+    mesh=None,
+    shard_axis: str = "model",
 ) -> SolveResult:
+    """Run L-BFGS. With ``mesh`` set, solver state is parameter-sharded over
+    ``mesh.shape[shard_axis]`` devices (see :func:`_build_param_sharded`);
+    the trajectory matches the single-device run up to float rounding of the
+    psum-reduced inner products."""
     opts = opts or LBFGSOptions()
+    if mesh is not None:
+        return _cached_param_sharded(problem, opts, mesh, shard_axis)(x0, aux)
     return cached_jit_solve(_build, problem, opts)(x0, aux)
 
 
@@ -358,6 +456,13 @@ def lbfgs_chunked(
     — a capability the reference lacks entirely (SURVEY.md §5). On resume
     ``x0`` may be ``None`` (only the checkpoint is needed); time_ms entries
     for the pre-kill iterations stay NaN — they were not measured here.
+
+    The carried line prefix is a *derived* field (prefix == line_prefix.init
+    (x, aux) up to rounding), so on resume it is recomputed from the
+    restored iterate rather than trusted from the checkpoint — a checkpoint
+    written by an older release (or migrated with template-filled fields,
+    see ``checkpoint.restore_checkpoint``) can therefore never resume with a
+    stale prefix silently corrupting every subsequent line-search trial.
     """
     opts = opts or LBFGSOptions()
     if resume_state is None and x0 is None:
@@ -365,6 +470,8 @@ def lbfgs_chunked(
     init, run_chunk = _cached_chunk_fns(problem, opts, chunk)
 
     state = resume_state if resume_state is not None else init(x0, aux)
+    if resume_state is not None and _use_prefix(problem, opts):
+        state = state._replace(prefix=problem.line_prefix.init(state.x, aux))
     jax.block_until_ready(state.x)
     # Warm-up compile on a perturbed copy: remote-TPU runtimes can serve a
     # repeat of an *identical* dispatch from cache, which would zero out the

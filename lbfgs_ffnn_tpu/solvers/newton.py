@@ -4,6 +4,15 @@ Per iteration: try ``(H + mu*I) p = -g`` with ``mu`` escalating
 1e-6 -> 1e6 (x10) until the solve is finite and ``p`` is a descent direction;
 fall back to steepest descent otherwise; then Wolfe line search
 (reference behavior of src/minimizer/newton.hpp:34-77).
+
+Two Hessian modes:
+  * ``hess_mode="dense"`` — the reference's shape: a user (or autodiff)
+    ``problem.hess`` materializes H and the damped system is solved directly
+    (reference requires an explicit HessFun, src/minimizer/newton.hpp:25).
+  * ``hess_mode="hvp_cg"`` — TPU-native matrix-free Newton-CG: the damped
+    system is solved by conjugate gradient where every matvec is one exact
+    Hessian-vector product ``jax.jvp`` of the gradient (Problem.hvp), so H
+    is never formed — usable at MLP scale where an n^2 Hessian cannot exist.
 """
 
 from __future__ import annotations
@@ -35,6 +44,9 @@ class NewtonOptions(NamedTuple):
                                        # auto: on iff the problem carries a
                                        # line restriction (Problem.line_fun);
                                        # see ops/linesearch.py
+    hess_mode: str = "dense"  # "dense" | "hvp_cg" (matrix-free Newton-CG)
+    cg_tol: float = 1e-10
+    cg_max_iters: int = 200
 
 
 class _State(NamedTuple):
@@ -80,9 +92,48 @@ def _damped_direction(H, g, opts: NewtonOptions):
     return jnp.where(c.found, c.p, -g)
 
 
+def _damped_direction_hvp(problem: Problem, x, g, aux, opts: NewtonOptions):
+    """Matrix-free variant: CG on ``(H + mu I) p = -g`` where each matvec is
+    one exact HVP (forward-over-reverse jvp) — H is never materialized.
+    Same mu escalation / descent gate / steepest-descent fallback policy as
+    the dense path."""
+
+    class _C(NamedTuple):
+        mu: jax.Array
+        p: jax.Array
+        found: jax.Array
+
+    def cond(c: _C):
+        return (~c.found) & (c.mu <= opts.reg_max)
+
+    def body(c: _C) -> _C:
+        def matvec(v):
+            return problem.hvp(x, v, aux) + c.mu * v
+
+        p, _ = jax.scipy.sparse.linalg.cg(
+            matvec, -g, tol=opts.cg_tol, maxiter=opts.cg_max_iters
+        )
+        ok = jnp.all(jnp.isfinite(p)) & (jnp.vdot(p, g) < 0.0)
+        return _C(
+            mu=jnp.where(ok, c.mu, c.mu * opts.reg_growth),
+            p=jnp.where(ok, p, c.p),
+            found=ok,
+        )
+
+    c0 = _C(
+        mu=jnp.asarray(opts.reg_init, dtype=g.dtype),
+        p=jnp.zeros_like(g),
+        found=jnp.array(False),
+    )
+    c = lax.while_loop(cond, body, c0)
+    return jnp.where(c.found, c.p, -g)
+
+
 def _build(problem: Problem, opts: NewtonOptions):
-    if problem.hess is None:
-        raise ValueError("Newton requires problem.hess")
+    if opts.hess_mode not in ("dense", "hvp_cg"):
+        raise ValueError(f"unknown hess_mode {opts.hess_mode!r}")
+    if opts.hess_mode == "dense" and problem.hess is None:
+        raise ValueError("Newton with hess_mode='dense' requires problem.hess")
 
     lean = lean_gate(problem, opts.ls_value_only)
 
@@ -98,8 +149,11 @@ def _build(problem: Problem, opts: NewtonOptions):
             return (s.k < opts.max_iters) & (s.gnorm > opts.tol)
 
         def body(s: _State) -> _State:
-            H = problem.hess(s.x, aux)
-            p = _damped_direction(H, s.g, opts)
+            if opts.hess_mode == "hvp_cg":
+                p = _damped_direction_hvp(problem, s.x, s.g, aux, opts)
+            else:
+                H = problem.hess(s.x, aux)
+                p = _damped_direction(H, s.g, opts)
             dg0 = jnp.vdot(s.g, p)
             ls, nf_add, ng_add = wolfe_with_counters(
                 problem, opts, s.x, p, s.f, dg0, aux, lean

@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 
 
+# Largest parameter count for which make_problem's *default* dense
+# jax.hessian is allowed to materialize (8k^2 f64 = 512 MB). Problems above
+# this must supply an explicit `hess` or use matrix-free Newton-CG.
+DENSE_HESSIAN_LIMIT = 8192
+
+
 class LinePrefix(NamedTuple):
     """Carried line-restriction protocol for problems whose objective has a
     parameter-linear prefix (e.g. an MLP's first-layer preactivation).
@@ -164,7 +170,26 @@ def make_problem(
             return _f(w, aux), _g(w, aux)
 
     if hess is None:
-        hess = jax.hessian(fun)
+        _dense_hess = jax.hessian(fun)
+
+        def hess(w, aux=(), _h=_dense_hess):
+            # Fail fast instead of materializing an n^2 Hessian for
+            # MLP-sized problems (e.g. 101k params -> 41 GB f32). The
+            # reference's Newton likewise requires an explicit HessFun
+            # (reference: src/minimizer/newton.hpp:25). Shape is static, so
+            # this raises at trace time, before any allocation.
+            n = int(w.shape[0])
+            if n > DENSE_HESSIAN_LIMIT:
+                raise ValueError(
+                    f"default dense jax.hessian refused for n={n} > "
+                    f"{DENSE_HESSIAN_LIMIT} parameters (would materialize an "
+                    f"n^2 = {n * n:,}-element matrix). Pass an analytic/"
+                    "structured `hess` to make_problem, or use the "
+                    "matrix-free Newton-CG path: NewtonOptions(hess_mode="
+                    "'hvp_cg') solves (H + mu I) p = -g with CG over exact "
+                    "Hessian-vector products (Problem.hvp) and never forms H."
+                )
+            return _h(w, aux)
     if line_fun is None and line_prefix is not None:
         # The per-call restriction is derivable from the carried protocol.
         def line_fun(w, p, aux, _lp=line_prefix):

@@ -165,3 +165,96 @@ def test_lbfgs_chunked_resume_with_line_prefix(tmp_path):
     np.testing.assert_allclose(
         np.asarray(res_resumed.x), np.asarray(res_full.x), rtol=1e-10
     )
+
+
+def test_checkpoint_migration_raises_on_nonscalar_fill(tmp_path):
+    """Template-filling a non-scalar field (e.g. a carried line prefix)
+    would silently corrupt a resumed run — the migration shim must refuse
+    unless the caller opts in (and then recomputes the field)."""
+    import pytest
+    from typing import NamedTuple
+
+    class OldState(NamedTuple):
+        k: jax.Array
+        x: jax.Array
+
+    class NewState(NamedTuple):
+        k: jax.Array
+        x: jax.Array
+        prefix: jax.Array  # derived array field added after the checkpoint
+
+    old = OldState(k=jnp.int32(3), x=jnp.arange(4.0))
+    save_checkpoint(tmp_path / "old", old)
+    template = NewState(k=jnp.int32(0), x=jnp.zeros(4), prefix=jnp.zeros((2, 2)))
+
+    with pytest.raises(ValueError, match="prefix"):
+        restore_checkpoint(tmp_path / "old", template)
+
+    with pytest.warns(UserWarning, match="missing fields"):
+        restored = restore_checkpoint(tmp_path / "old", template, allow_partial=True)
+    assert int(restored.k) == 3
+
+
+def test_checkpoint_migration_warns_on_scalar_fill(tmp_path):
+    """Plain-counter fills stay allowed but are named in a warning."""
+    import pytest
+    from typing import NamedTuple
+
+    class OldState(NamedTuple):
+        x: jax.Array
+
+    class NewState(NamedTuple):
+        x: jax.Array
+        nf: jax.Array
+
+    save_checkpoint(tmp_path / "old", OldState(x=jnp.arange(4.0)))
+    with pytest.warns(UserWarning, match="nf"):
+        restored = restore_checkpoint(
+            tmp_path / "old", NewState(x=jnp.zeros(4), nf=jnp.int32(0))
+        )
+    assert int(restored.nf) == 0
+    np.testing.assert_allclose(np.asarray(restored.x), np.arange(4.0))
+
+
+def test_checkpoint_restore_propagates_nonstructural_errors(tmp_path):
+    """A missing checkpoint is NOT a migration case — it must raise, not be
+    silently template-filled."""
+    import pytest
+
+    with pytest.raises(Exception):
+        restore_checkpoint(tmp_path / "never_saved", {"x": jnp.zeros(3)})
+
+
+def test_lbfgs_chunked_resume_recomputes_stale_prefix(tmp_path):
+    """A resume state carrying a corrupted/stale prefix (the migration
+    hazard) must be healed: lbfgs_chunked recomputes the prefix from the
+    restored iterate, so the resumed trajectory matches the uninterrupted
+    run instead of silently optimizing a wrong line restriction."""
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+    from lbfgs_ffnn_tpu.solvers.lbfgs import lbfgs_chunked
+
+    spec = mlp_spec([6, 8, 3], ["relu", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(1), (24, 6), dtype=jnp.float64)
+    y = jax.nn.one_hot(jnp.arange(24) % 3, 3, dtype=jnp.float64)
+    opts = LBFGSOptions(max_iters=30, tol=1e-12, m=4, line_search="armijo")
+
+    res_full, _ = lbfgs_chunked(prob, w0, aux=(x, y), opts=opts, chunk=5)
+
+    captured = {}
+
+    def cb(state, elapsed):
+        if int(state.k) == 10 and not captured:
+            captured["state"] = state
+
+    lbfgs_chunked(prob, w0, aux=(x, y), opts=opts, chunk=5, callback=cb)
+    # Corrupt the prefix the way a template-filled migration would (zeros).
+    bad = captured["state"]._replace(
+        prefix=jnp.zeros_like(captured["state"].prefix)
+    )
+    res_resumed, _ = lbfgs_chunked(prob, None, aux=(x, y), opts=opts, chunk=5,
+                                   resume_state=bad)
+    np.testing.assert_allclose(
+        np.asarray(res_resumed.x), np.asarray(res_full.x), rtol=1e-10
+    )

@@ -99,3 +99,45 @@ def test_pallas_streaming_path_matches_f64_oracle(m, k):
     # sanity: the f32 XLA path agrees with the oracle at its (looser) scale
     r_xla = np.asarray(two_loop(v, hist))
     np.testing.assert_allclose(r_xla, oracle, atol=5e-4, rtol=5e-4)
+
+
+def test_pallas_dispatch_reports_impl():
+    from lbfgs_ffnn_tpu.ops.pallas_two_loop import (
+        _VMEM_RESIDENT_LIMIT, _VMEM_ROW_LIMIT, pallas_dispatch,
+    )
+
+    impl, _ = pallas_dispatch(1024, 4, jnp.float32)
+    assert impl == "pallas-resident"
+    impl, _ = pallas_dispatch(_VMEM_ROW_LIMIT, 4, jnp.float32)  # 4x512k > resident limit
+    assert impl == "pallas-streaming"
+    assert _VMEM_ROW_LIMIT * 4 > _VMEM_RESIDENT_LIMIT
+    impl, reason = pallas_dispatch(_VMEM_ROW_LIMIT + 1024, 4, jnp.float32)
+    assert impl == "xla" and "VMEM" in reason
+    impl, reason = pallas_dispatch(1024, 4, jnp.float64)
+    assert impl == "xla" and "dtype" in reason
+
+
+def test_pallas_fallback_beyond_vmem_budget_warns_and_is_correct():
+    """A >512k-param row exceeds the kernel's VMEM budget: the wrapper must
+    fall back to XLA (correctly) and say so — no silent policy substitution
+    when a solver was configured with two_loop_impl='pallas'
+    (VERDICT round 1, item 8)."""
+    import warnings as _w
+
+    from lbfgs_ffnn_tpu.ops import pallas_two_loop as ptl
+
+    n = ptl._VMEM_ROW_LIMIT + 1024  # first padded size past the budget
+    m, k = 3, 2
+    hist = make_history(m, n, k, seed=7)
+    v = jnp.asarray(np.random.default_rng(8).normal(size=n), dtype=jnp.float32)
+
+    ptl._FALLBACK_WARNED.clear()
+    with pytest.warns(UserWarning, match="falling back to the XLA"):
+        r = two_loop_pallas(v, hist)
+    np.testing.assert_allclose(
+        np.asarray(r), np.asarray(two_loop(v, hist)), rtol=2e-5, atol=2e-5
+    )
+    # warned once per (m, n, dtype), not per call
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        two_loop_pallas(v, hist)

@@ -156,3 +156,46 @@ def test_sgd_streaming_zero_epochs():
     with BatchStreamer(x, y, 4, seed=0) as st:
         res = sgd_streaming(prob, jnp.zeros(5), st, SGDOptions(epochs=0))
     assert int(res.n_iters) == 0
+
+
+def test_streamer_concurrent_consumers_deliver_each_batch_once():
+    """Multi-consumer safety: concurrent streamer_next calls must never
+    deliver the same ring slot twice (each slot is claimed under the mutex
+    before the unlocked copy). 4 threads drain 3 epochs; every epoch's
+    union of delivered ids must be exactly one permutation — a double-pop
+    shows up as a duplicate id, a corrupted ring as a missing one."""
+    import threading
+
+    n, b, epochs, workers = 240, 8, 3, 4
+    x, y = _dataset(n)
+    batches_per_epoch = -(-n // b)
+    total = epochs * batches_per_epoch
+
+    with BatchStreamer(x, y, b, seed=11) as st:
+        if not st.native:
+            pytest.skip("native runtime unavailable")
+        lock = threading.Lock()
+        popped = []  # (epoch, ids) per batch
+        remaining = [total]
+
+        def consume():
+            while True:
+                with lock:
+                    if remaining[0] == 0:
+                        return
+                    remaining[0] -= 1
+                xb, yb, count, epoch = st.next()
+                np.testing.assert_array_equal(xb[:count, 0], yb[:count, 0])
+                with lock:
+                    popped.append((epoch, [int(v) for v in yb[:count, 0]]))
+
+        threads = [threading.Thread(target=consume) for _ in range(workers)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+    assert len(popped) == total
+    for e in range(epochs):
+        ids = sorted(i for ep, ids in popped if ep == e for i in ids)
+        assert ids == list(range(n)), f"epoch {e} delivery not a permutation"
