@@ -24,12 +24,18 @@ batch sampling derives per-(epoch, step) keys with ``jax.random.fold_in``.
 **Distributed mode** (``mesh=...``): the reference restricts S-LBFGS to one
 CPU (a CUDA build is a static_assert error,
 src/unified_optimization.hpp:639-641). Here, passing a data mesh runs every
-gradient/HVP evaluation batch-sharded: each device samples ``b/ndev``
-indices *from its local shard* (``fold_in(key, axis_index)``), evaluates
-locally, and one psum per evaluation reduces the result over ICI — no
-cross-device gathers in the inner loop. Solver state (weights, curvature
-ring, anchors) stays replicated; batch composition differs from the
-single-device run (per-shard sampling), the algorithm is unchanged.
+gradient/HVP evaluation batch-sharded with one psum per evaluation over ICI
+and solver state (weights, curvature ring, anchors) replicated. Two
+sampling layouts:
+
+  * ``sampling="local"`` — each device samples ``b/ndev`` indices *from its
+    local shard* (``fold_in(key, axis_index)``); cheapest (no cross-shard
+    index traffic), but batch composition differs from the 1-device run.
+  * ``sampling="global"`` — layout-invariant: the replicated key draws the
+    same global without-replacement batch as the single-device run (the
+    reference's sampling semantics, s_lbfgs.hpp:141-160,220); each device
+    contributes its masked shard slice, so the *trajectory matches the
+    1-device run* up to reduction-order rounding on any device count.
 """
 
 from __future__ import annotations
@@ -58,6 +64,15 @@ class SLBFGSOptions(NamedTuple):
     step_size: float = 0.01
     hvp_mode: str = "exact"     # "exact" (jvp) | "fd" (reference parity)
     fd_eps: float = 1e-4
+    sampling: str = "local"     # mesh mode only: "local" (per-device
+                                # sampling from the local shard — cheapest,
+                                # batch composition differs from 1-device) |
+                                # "global" (layout-invariant: the replicated
+                                # key draws the same global without-
+                                # replacement batch as the 1-device run —
+                                # reference semantics, s_lbfgs.hpp:141-160 —
+                                # and each device contributes its masked
+                                # slice via one psum)
     seed: int = 123
     record_full: bool = True    # per-epoch full loss + gradient (as reference)
     curvature_eps: float = 1e-10
@@ -168,6 +183,28 @@ def _sharded_ops(
         idx = jax.random.permutation(k, n_local)[:size]
         return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
 
+    # --- layout-invariant ("global") sampling -----------------------------
+    # The replicated key draws the SAME global without-replacement batch as
+    # the single-device run (reference semantics, s_lbfgs.hpp:141-160,220);
+    # each device gathers the indices that land in its shard (fixed-shape
+    # masked gather) and contributes sum(masked losses)/batch, so one psum
+    # reproduces the exact global batch mean regardless of device count.
+
+    def _global_take(xs, ys, key, size):
+        idx = jax.random.permutation(key, N)[:size]  # replicated across devices
+        pos = idx - lax.axis_index(axis) * n_local
+        valid = (pos >= 0) & (pos < n_local)
+        posc = jnp.clip(pos, 0, n_local - 1)
+        return jnp.take(xs, posc, axis=0), jnp.take(ys, posc, axis=0), valid
+
+    def _global_batch_loss(w, xb, yb, mask, size):
+        ls = problem.per_sample(w, xb, yb)
+        local = jnp.sum(jnp.where(mask, ls, jnp.zeros_like(ls))) / size
+        out = lax.psum(local, axis)
+        if problem.reg is not None:
+            out = out + problem.reg(w)  # regularizer counted exactly once
+        return out
+
     def full_grad(w):
         def local(w, xs, ys):
             return jax.grad(global_loss)(w, xs, ys)
@@ -183,6 +220,39 @@ def _sharded_ops(
         return jax.shard_map(
             local, mesh=mesh, in_specs=(P(), P(axis), P(axis)), out_specs=P()
         )(w, x, y)
+
+    if opts.sampling == "global":
+        def batch_grads(w_t, w_anchor, key):
+            def local(w_t, w_anchor, xs, ys, key):
+                xb, yb, mask = _global_take(xs, ys, key, b)
+                g_t = jax.grad(_global_batch_loss)(w_t, xb, yb, mask, b)
+                g_a = jax.grad(_global_batch_loss)(w_anchor, xb, yb, mask, b)
+                return g_t, g_a
+
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(), P(axis), P(axis), P()), out_specs=(P(), P()),
+            )(w_t, w_anchor, x, y, key)
+
+        def hvp(u, s_vec, key):
+            def local(u, s_vec, xs, ys, key):
+                xh, yh, mask = _global_take(xs, ys, key, b_h)
+                grad_fn = lambda w: jax.grad(_global_batch_loss)(w, xh, yh, mask, b_h)
+                if opts.hvp_mode == "fd":
+                    gp = grad_fn(u + opts.fd_eps * s_vec)
+                    gm = grad_fn(u - opts.fd_eps * s_vec)
+                    return (gp - gm) / (2.0 * opts.fd_eps)
+                return jax.jvp(grad_fn, (u,), (s_vec,))[1]
+
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(), P(axis), P(axis), P()), out_specs=P(),
+            )(u, s_vec, x, y, key)
+
+        return _Ops(full_grad, full_loss, batch_grads, hvp)
+
+    if opts.sampling != "local":
+        raise ValueError(f"unknown sampling {opts.sampling!r}")
 
     def batch_grads(w_t, w_anchor, key):
         def local(w_t, w_anchor, xs, ys, key):

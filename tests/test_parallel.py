@@ -222,3 +222,102 @@ def test_two_loop_param_sharded_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(r_sharded), np.asarray(r_single), rtol=1e-12, atol=1e-12
     )
+
+
+def test_lbfgs_param_sharded_full_solver_parity():
+    """The §2.6 parameter-axis ambition end-to-end: lbfgs(mesh=...) runs the
+    FULL solver with parameter-sharded iterate/gradient/(S,Y) ring and
+    psum-reduced two-loop dots, and its f64 trajectory matches the
+    single-device run (VERDICT round 1, item 2)."""
+    spec = mlp_spec([12, 16, 4], ["tanh", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(5), dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(6), (64, 12), dtype=jnp.float64)
+    y = jax.nn.one_hot(jnp.arange(64) % 4, 4, dtype=jnp.float64)
+    opts = LBFGSOptions(max_iters=15, tol=1e-14, m=6, line_search="armijo",
+                        prefix_vag=False, ls_value_only=False)
+
+    ref = lbfgs(prob, w0, aux=(x, y), opts=opts)
+    mesh = make_mesh(axis_name="model")
+    res = lbfgs(prob, w0, aux=(x, y), opts=opts, mesh=mesh)
+
+    assert int(res.n_iters) == int(ref.n_iters) == 15
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(res.loss_history[:15]), np.asarray(ref.loss_history[:15]),
+        rtol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.gnorm_history[:15]), np.asarray(ref.gnorm_history[:15]),
+        rtol=1e-10,
+    )
+    assert int(res.n_fevals) == int(ref.n_fevals)  # same trial sequence
+
+
+def test_lbfgs_param_sharded_wolfe_f32():
+    """Same parity under the Wolfe (CPU-reference) policy in f32 — the
+    production dtype — with the looser float tolerance."""
+    spec = mlp_spec([12, 16, 4], ["relu", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(7), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(8), (64, 12), dtype=jnp.float32)
+    y = jax.nn.one_hot(jnp.arange(64) % 4, 4, dtype=jnp.float32)
+    opts = LBFGSOptions(max_iters=10, tol=1e-12, m=4, line_search="wolfe",
+                        prefix_vag=False, ls_value_only=False)
+
+    ref = lbfgs(prob, w0, aux=(x, y), opts=opts)
+    mesh = make_mesh(axis_name="model")
+    res = lbfgs(prob, w0, aux=(x, y), opts=opts, mesh=mesh)
+    assert int(res.n_iters) == int(ref.n_iters)
+    # f32: the psum reduction order differs from the flat vdot, and that
+    # rounding compounds through 10 line-searched iterations — parity is
+    # trajectory-level (same decisions, close iterates), not bitwise.
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(
+        float(res.final_loss), float(ref.final_loss), rtol=1e-4
+    )
+    assert int(res.n_fevals) == int(ref.n_fevals)
+
+
+def test_lbfgs_param_sharded_rejects_pallas():
+    mesh = make_mesh(axis_name="model")
+    with pytest.raises(ValueError, match="single-device kernel"):
+        lbfgs(
+            mlp_problem(SPEC), W0, aux=(X, Y),
+            opts=LBFGSOptions(max_iters=2, two_loop_impl="pallas"), mesh=mesh,
+        )
+
+
+def test_slbfgs_global_sampling_trajectory_matches_single_device():
+    """Layout-invariant explicit S-LBFGS (VERDICT round 1, item 6): with
+    sampling='global' the replicated key draws the exact batches of the
+    1-device run, so the multi-device *trajectory* (per-epoch full loss and
+    gradient norm) matches — not just the final loss. f64 so the only
+    differences are psum reduction order."""
+    spec = mlp_spec([16, 12, 4], ["tanh", "linear"])
+    bp = mlp_batch_problem(spec, lam=1e-4)
+    w0 = mlp_init(spec, jax.random.PRNGKey(3), dtype=jnp.float64)
+    n = 256
+    x = jax.random.normal(jax.random.PRNGKey(4), (n, 16), dtype=jnp.float64)
+    y = jax.nn.one_hot(jnp.arange(n) % 4, 4, dtype=jnp.float64)
+
+    opts = SLBFGSOptions(epochs=4, tol=1e-12, history=5, L=3,
+                         batch_size=32, step_size=0.05, sampling="global")
+    r_1d = slbfgs(bp, w0, x, y, opts._replace(sampling="local"))
+
+    mesh = make_mesh()
+    xs, ys = shard_batch(mesh, x, y)
+    w = replicate(mesh, w0)
+    r_dp = slbfgs(bp, w, xs, ys, opts, mesh=mesh)
+
+    assert int(r_dp.n_iters) == int(r_1d.n_iters) == 4
+    np.testing.assert_allclose(np.asarray(r_dp.x), np.asarray(r_1d.x), rtol=1e-9)
+    np.testing.assert_allclose(
+        np.asarray(r_dp.loss_history[:4]), np.asarray(r_1d.loss_history[:4]),
+        rtol=1e-9,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r_dp.gnorm_history[:4]), np.asarray(r_1d.gnorm_history[:4]),
+        rtol=1e-9,
+    )
