@@ -23,6 +23,10 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--iters", type=int, default=5000)
 parser.add_argument("--coarse", action="store_true", help="coarser grids for a quick run")
 parser.add_argument("--f64", action="store_true")
+parser.add_argument("--curvature", choices=["grad_diff", "hvp"], default=None,
+                    help="L-BFGS curvature pairs; default: hvp for f32 "
+                         "(no cancellation near the plateau), grad_diff for f64")
+parser.add_argument("--out", default="burgers_test_extrapolation.csv")
 args = parser.parse_args()
 
 import jax  # noqa: E402
@@ -52,10 +56,12 @@ w0 = pinn_init(spec, jax.random.PRNGKey(123), dtype=dtype)
 # under-rejects noisy f32 pairs near the plateau; measured loss 0.38 -> 0.23
 # on the full grid).
 rel = 0.0 if args.f64 else 1e-6
+curv = args.curvature or ("grad_diff" if args.f64 else "hvp")
 # ls_value_only: the PINN plateau exhausts many Wolfe trials per iteration;
 # jvp trials are ~2x cheaper there (measured 1.42 vs 1.83 ms/iter).
 opts = LBFGSOptions(max_iters=args.iters, tol=1e-10, m=100, ls_max_iters=100,
                     curvature_rel_eps=rel, ls_value_only=True,
+                    curvature_pairs=curv,
                     two_loop_impl="pallas" if jax.default_backend() == "tpu" else "xla")
 
 # Warm-up on a perturbed init: compiles the solve (and defeats the axon
@@ -72,7 +78,7 @@ label = "Training Time" if warmed else "Training Time (incl. compile)"
 print(f"{label}: {time.perf_counter() - t0:.1f}s  "
       f"iters={int(res.n_iters)} loss={loss:.6g} ||g||={float(res.final_gnorm):.3g}")
 
-with open("burgers_test_extrapolation.csv", "w") as f:
+with open(args.out, "w") as f:
     f.write("x,t,u,type\n")
     xs = jnp.arange(-1.0, 1.0 + 0.01, 0.02, dtype=dtype)
     for t, typ in [(0.0, 0), (0.5, 0), (1.0, 0), (1.5, 2)]:
@@ -80,4 +86,4 @@ with open("burgers_test_extrapolation.csv", "w") as f:
         u = mlp_apply(spec, res.x, xt)[:, 0]
         for xi, ui in zip(xs, u):
             f.write(f"{float(xi)},{t},{float(ui)},{typ}\n")
-print("wrote burgers_test_extrapolation.csv")
+print(f"wrote {args.out}")

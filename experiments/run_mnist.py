@@ -40,6 +40,13 @@ parser.add_argument("--batched-ls", action="store_true",
                          "Armijo ladder (pure backtracking, slightly "
                          "better loss; since the carried line prefix, the "
                          "reference policy is the faster one)")
+parser.add_argument("--record-accuracy", action="store_true",
+                    help="per-epoch TrainAcc+TestAcc columns for the "
+                         "stochastic solvers (rendered by plot_results.py, "
+                         "reference: scripts/plot_results.py:107-127)")
+parser.add_argument("--timed-chunks", type=int, default=0,
+                    help=">0: run L-BFGS/S-LBFGS in K-iteration chunks with "
+                         "measured (not synthesized) cumulative TimeMs")
 args = parser.parse_args()
 
 from lbfgs_ffnn_tpu.data.datasets import load_fashion_mnist, load_mnist  # noqa: E402
@@ -109,6 +116,10 @@ if args.batched_ls:
             line_search="armijo_batched")))
 
 for solver, cfg in runs:
+    if args.record_accuracy and solver in ("sgd", "slbfgs"):
+        cfg.record_accuracy = True
+    if args.timed_chunks > 0 and solver in ("lbfgs", "slbfgs"):
+        cfg.timed_chunks = args.timed_chunks
     print(f"Running {cfg.name} ({solver})...")
     launcher.train(solver, cfg)
     launcher.test()

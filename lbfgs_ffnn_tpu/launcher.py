@@ -178,6 +178,18 @@ class Launcher:
             )
             wall = time.perf_counter() - t0
             measured_ms = time_ms
+        elif config.timed_chunks > 0 and solver == "slbfgs":
+            from lbfgs_ffnn_tpu.solvers.slbfgs import slbfgs_chunked
+
+            bp = self._get_batch_problem(config.lam if config.lam > 0 else 1e-4)
+            opts = self._slbfgs_opts(config, int(self._x.shape[0]))
+            t0 = time.perf_counter()
+            result, time_ms = slbfgs_chunked(
+                bp, self.weights, self._x, self._y, opts,
+                chunk=config.timed_chunks,
+            )
+            wall = time.perf_counter() - t0
+            measured_ms = time_ms
         else:
             # Warm-up with *perturbed* weights compiles the executable without
             # letting remote-runtime dispatch caching serve the timed call
@@ -204,7 +216,11 @@ class Launcher:
             extra = None
             if result.metric_history is not None:
                 n = int(result.n_iters)
-                extra = {"TrainAcc": np.asarray(result.metric_history[:n])}
+                mh = np.asarray(result.metric_history[:n])
+                if mh.ndim == 2:  # [TrainAcc, TestAcc] columns
+                    extra = {"TrainAcc": mh[:, 0], "TestAcc": mh[:, 1]}
+                else:
+                    extra = {"TrainAcc": mh}
             write_history_csv(csv_path, history, config.log_interval, extra)
 
         train_eval = evaluate(self.spec, self.weights, self._x, self._y)
@@ -219,13 +235,24 @@ class Launcher:
         return TrainReport(result, history, wall, csv_path, train_eval)
 
     def _accuracy_metric(self):
+        """Per-epoch accuracy metric: [TrainAcc, TestAcc] when a held-out
+        split exists (the reference plot tooling's optional panels,
+        reference: scripts/plot_results.py:107-127), else TrainAcc alone.
+        The test split rides into the jitted solve as a captured constant —
+        train data stays a traced operand."""
         if "acc" not in self._prob_cache:
             spec = self.spec
+            tx, ty = self._tx, self._ty
 
-            def acc(w, x, y):
+            def acc1(w, x, y):
                 pred = jnp.argmax(mlp_apply(spec, w, x), axis=1)
                 return jnp.mean((pred == jnp.argmax(y, axis=1)).astype(w.dtype)) * 100.0
 
+            if tx is not None and int(tx.shape[0]) > 0:
+                def acc(w, x, y):
+                    return jnp.stack([acc1(w, x, y), acc1(w, tx, ty)])
+            else:
+                acc = acc1
             self._prob_cache["acc"] = acc
         return self._prob_cache["acc"]
 
@@ -248,6 +275,19 @@ class Launcher:
             line_search=ls,
             ls_max_iters=ls_max,
             ls_spec_k=c.ls_spec_k,
+            two_loop_impl=c.two_loop_impl,
+        )
+
+    def _slbfgs_opts(self, c: UnifiedConfig, N: int) -> SLBFGSOptions:
+        # Reference strategy defaults: lambda=1e-4 L2, b_H = batch/2,
+        # m_inner = N/batch (unified_optimization.hpp:314-405).
+        return SLBFGSOptions(
+            metric_fn=self._accuracy_metric() if c.record_accuracy else None,
+            epochs=c.max_iters, tol=c.tolerance,
+            m_inner=max(N // c.batch_size, 1),
+            history=c.m_param, L=c.L_param, batch_size=c.batch_size,
+            hvp_batch_size=c.b_H_param if c.b_H_param > 0 else c.batch_size // 2,
+            step_size=c.learning_rate, seed=c.seed,
             two_loop_impl=c.two_loop_impl,
         )
 
@@ -287,19 +327,9 @@ class Launcher:
             return lambda: sgd(bp, w0, x, y, opts)
 
         if solver == "slbfgs":
-            # Reference strategy defaults: lambda=1e-4 L2, b_H = batch/2,
-            # m_inner = N/batch (unified_optimization.hpp:314-405).
             lam = c.lam if c.lam > 0 else 1e-4
             bp = self._get_batch_problem(lam)
-            opts = SLBFGSOptions(
-                metric_fn=self._accuracy_metric() if c.record_accuracy else None,
-                epochs=c.max_iters, tol=c.tolerance,
-                m_inner=max(N // c.batch_size, 1),
-                history=c.m_param, L=c.L_param, batch_size=c.batch_size,
-                hvp_batch_size=c.b_H_param if c.b_H_param > 0 else c.batch_size // 2,
-                step_size=c.learning_rate, seed=c.seed,
-                two_loop_impl=c.two_loop_impl,
-            )
+            opts = self._slbfgs_opts(c, N)
             return lambda: slbfgs(bp, w0, x, y, opts)
 
         raise ValueError(f"unknown solver {solver!r}")

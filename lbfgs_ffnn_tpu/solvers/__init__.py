@@ -3,7 +3,7 @@ from lbfgs_ffnn_tpu.solvers.lbfgs import LBFGSOptions, lbfgs
 from lbfgs_ffnn_tpu.solvers.bfgs import BFGSOptions, bfgs
 from lbfgs_ffnn_tpu.solvers.newton import NewtonOptions, newton
 from lbfgs_ffnn_tpu.solvers.sgd import SGDOptions, sgd
-from lbfgs_ffnn_tpu.solvers.slbfgs import SLBFGSOptions, slbfgs
+from lbfgs_ffnn_tpu.solvers.slbfgs import SLBFGSOptions, slbfgs, slbfgs_chunked
 
 __all__ = [
     "GDOptions",
@@ -18,4 +18,5 @@ __all__ = [
     "newton",
     "sgd",
     "slbfgs",
+    "slbfgs_chunked",
 ]

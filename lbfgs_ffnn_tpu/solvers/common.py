@@ -20,6 +20,16 @@ def cached_jit_solve(builder, problem, opts):
     return jax.jit(builder(problem, opts))
 
 
+def init_metric_history(metric_fn, epochs: int, w0, x, y):
+    """Per-epoch metric storage. ``metric_fn(w, x, y)`` may return a scalar
+    (one metric column, e.g. TrainAcc) or a 1-D vector (several, e.g.
+    [TrainAcc, TestAcc]); the shape is resolved abstractly (no evaluation)."""
+    if metric_fn is None:
+        return jnp.full((epochs,), jnp.nan, dtype=w0.dtype)
+    shape = jax.eval_shape(metric_fn, w0, x, y).shape
+    return jnp.full((epochs,) + shape, jnp.nan, dtype=w0.dtype)
+
+
 def init_history(max_iters: int, dtype):
     return (
         jnp.full((max_iters,), jnp.nan, dtype=dtype),

@@ -61,6 +61,18 @@ class LBFGSOptions(NamedTuple):
                                     # y^T s > rel_eps * ||y|| * ||s||
                                     # (robust for float32; the reference's
                                     # absolute 1e-10 gate is scale-sensitive)
+    curvature_pairs: str = "grad_diff"  # "grad_diff" (reference: y = g_new-g,
+                                        # src/minimizer/lbfgs.hpp:67-77) |
+                                        # "hvp": y = H(x_new)·s via one exact
+                                        # jvp-of-grad. In f32 the gradient
+                                        # difference cancels catastrophically
+                                        # once plateau steps are tiny (y is
+                                        # pure rounding noise); the HVP has
+                                        # no cancellation — the full-batch
+                                        # analogue of the S-LBFGS decoupled
+                                        # pairs (s_lbfgs.hpp:246-250). Costs
+                                        # one extra gradient-shaped eval per
+                                        # iteration (counted in n_gevals).
     two_loop_impl: str = "xla"  # "xla" | "pallas"
     ls_spec_k: int = 4  # armijo_batched: candidates per batched forward
     prefix_vag: bool = True  # use LinePrefix.vag_restrict for the accepted
@@ -150,6 +162,8 @@ def _not_done(s: _State, opts: LBFGSOptions):
 def _make_body(problem: Problem, opts: LBFGSOptions, direction=None):
     if opts.line_search not in ("wolfe", "armijo", "armijo_batched"):
         raise ValueError(f"unknown line_search {opts.line_search!r}")
+    if opts.curvature_pairs not in ("grad_diff", "hvp"):
+        raise ValueError(f"unknown curvature_pairs {opts.curvature_pairs!r}")
     if direction is None:
         def direction(g, hist):
             return _direction(g, hist, opts)
@@ -261,7 +275,11 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None):
 
         x_new = s.x + alpha * p
         step = alpha * p
-        y = g_new - s.g
+        if opts.curvature_pairs == "hvp":
+            y = problem.hvp(x_new, step, aux)
+            ng_add = ng_add + 1
+        else:
+            y = g_new - s.g
         ys = jnp.vdot(y, step)
         if opts.curvature_rel_eps > 0.0:
             gate = opts.curvature_rel_eps * jnp.linalg.norm(y) * jnp.linalg.norm(step)

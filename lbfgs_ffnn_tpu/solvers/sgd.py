@@ -23,7 +23,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from lbfgs_ffnn_tpu.solvers.common import cached_jit_solve, finalize, init_history, record
+from lbfgs_ffnn_tpu.solvers.common import (
+    cached_jit_solve, finalize, init_history, init_metric_history, record,
+)
 from lbfgs_ffnn_tpu.types import BatchProblem, SolveResult
 
 
@@ -38,7 +40,8 @@ class SGDOptions(NamedTuple):
     tol: float = 0.0  # >0 enables relative-improvement stopping (CUDA-ref)
     seed: int = 123
     record_full: bool = True  # per-epoch full-batch loss/gradnorm recording
-    metric_fn: object = None  # optional (w, x, y) -> scalar, recorded per epoch
+    metric_fn: object = None  # optional (w, x, y) -> scalar or (k,) vector
+                              # of metrics, recorded per epoch
                               # (e.g. train accuracy; reference plot tooling
                               # shows TrainAcc columns when present)
 
@@ -76,7 +79,7 @@ def _build(problem: BatchProblem, opts: SGDOptions, N: int):
             stop=jnp.array(False),
             loss_h=loss_h,
             gnorm_h=gnorm_h,
-            metric_h=jnp.full((opts.epochs,), jnp.nan, dtype=w0.dtype),
+            metric_h=init_metric_history(opts.metric_fn, opts.epochs, w0, x, y),
         )
 
         def update(w, v, lr, g):

@@ -41,6 +41,7 @@ sampling layouts:
 from __future__ import annotations
 
 import functools
+import time
 from typing import NamedTuple
 
 import jax
@@ -49,7 +50,9 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from lbfgs_ffnn_tpu.ops.two_loop import RingState, empty_history_state, ring_push, two_loop
-from lbfgs_ffnn_tpu.solvers.common import finalize, init_history, record
+from lbfgs_ffnn_tpu.solvers.common import (
+    finalize, init_history, init_metric_history, record,
+)
 from lbfgs_ffnn_tpu.types import BatchProblem, SolveResult
 
 
@@ -284,7 +287,9 @@ def _sharded_ops(
     return _Ops(full_grad, full_loss, batch_grads, hvp)
 
 
-def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
+def _make_parts(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
+    """Shared trace-time pieces: returns ``make_body(x, y) -> body(state)``,
+    the per-epoch transition both drivers (while_loop and chunked) run."""
     b = min(opts.batch_size, N)
     m_inner = opts.m_inner if opts.m_inner > 0 else max(N // b, 1)
     b_h = opts.hvp_batch_size if opts.hvp_batch_size > 0 else max(b // 2, 1)
@@ -300,32 +305,17 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
         def direction(v, hist):
             return two_loop(v, hist, clamp_gamma=True)
 
-    def solve(w0, x, y):
+    def make_body(x, y):
         if mesh is None:
             ops = _direct_ops(problem, x, y, N, b, b_h, opts)
         else:
             ops = _sharded_ops(problem, x, y, N, b, b_h, opts, mesh, axis)
 
         key = jax.random.PRNGKey(opts.seed)
-        n = w0.shape[0]
-        loss_h, gnorm_h = init_history(opts.epochs, w0.dtype)
-        s0 = _State(
-            epoch=jnp.int32(0),
-            w=w0,
-            hist=empty_history_state(opts.history, n, w0.dtype),
-            u_prev=jnp.zeros_like(w0),
-            has_u=jnp.array(False),
-            stop=jnp.array(False),
-            gnorm=jnp.asarray(jnp.inf, dtype=w0.dtype),
-            loss_h=loss_h,
-            gnorm_h=gnorm_h,
-            metric_h=jnp.full((opts.epochs,), jnp.nan, dtype=w0.dtype),
-        )
-
-        def cond(s: _State):
-            return (s.epoch < opts.epochs) & ~s.stop
 
         def body(s: _State) -> _State:
+            n = s.w.shape[0]
+            w0 = s.w  # dtype/shape template for the iterate ring
             k_epoch = jax.random.fold_in(key, s.epoch)
             # SVRG anchor: full gradient at w~ (s_lbfgs.hpp:203-206).
             mu = ops.full_grad(s.w)
@@ -423,12 +413,49 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
 
             return lax.cond(converged, skip_epoch, run_epoch, s)
 
-        s = lax.while_loop(cond, body, s0)
-        last = jnp.maximum(s.epoch - 1, 0)
-        return finalize(
-            s.w, s.epoch, s.stop, s.loss_h[last], s.gnorm, s.loss_h, s.gnorm_h,
-            s.metric_h if opts.metric_fn is not None else None,
+        return body
+
+    return make_body
+
+
+def _init_state(opts: SLBFGSOptions, w0: jax.Array, x, y) -> _State:
+    n = w0.shape[0]
+    loss_h, gnorm_h = init_history(opts.epochs, w0.dtype)
+    return _State(
+        epoch=jnp.int32(0),
+        w=w0,
+        hist=empty_history_state(opts.history, n, w0.dtype),
+        u_prev=jnp.zeros_like(w0),
+        has_u=jnp.array(False),
+        stop=jnp.array(False),
+        gnorm=jnp.asarray(jnp.inf, dtype=w0.dtype),
+        loss_h=loss_h,
+        gnorm_h=gnorm_h,
+        metric_h=init_metric_history(opts.metric_fn, opts.epochs, w0, x, y),
+    )
+
+
+def _not_done(s: _State, opts: SLBFGSOptions):
+    return (s.epoch < opts.epochs) & ~s.stop
+
+
+def _finalize_state(s: _State, opts: SLBFGSOptions) -> SolveResult:
+    last = jnp.maximum(s.epoch - 1, 0)
+    return finalize(
+        s.w, s.epoch, s.stop, s.loss_h[last], s.gnorm, s.loss_h, s.gnorm_h,
+        s.metric_h if opts.metric_fn is not None else None,
+    )
+
+
+def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
+    make_body = _make_parts(problem, opts, N, mesh, axis)
+
+    def solve(w0, x, y):
+        body = make_body(x, y)
+        s = lax.while_loop(
+            lambda s: _not_done(s, opts), body, _init_state(opts, w0, x, y)
         )
+        return _finalize_state(s, opts)
 
     return solve
 
@@ -448,7 +475,90 @@ def slbfgs(
     axis_name: str = "data",
 ) -> SolveResult:
     """Run S-LBFGS. With ``mesh`` set, evaluations are explicitly
-    batch-sharded with per-device local sampling (pass ``x``/``y`` sharded
-    via ``parallel.shard_batch`` and ``w0`` replicated)."""
+    batch-sharded (pass ``x``/``y`` sharded via ``parallel.shard_batch`` and
+    ``w0`` replicated); see the module docstring for the two sampling
+    layouts."""
     opts = opts or SLBFGSOptions()
     return _cached(problem, opts, int(x.shape[0]), mesh, axis_name)(w0, x, y)
+
+
+# ---------------------------------------------------------------------------
+# Chunked driver: measured per-epoch wall time + checkpoint/resume
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_chunk_fns(problem, opts, N, mesh, axis, chunk: int):
+    make_body = _make_parts(problem, opts, N, mesh, axis)
+
+    def init(w0, x, y):
+        return _init_state(opts, w0, x, y)
+
+    def run_chunk(state, x, y):
+        body = make_body(x, y)
+
+        def step(s, _):
+            s = lax.cond(_not_done(s, opts), body, lambda s: s, s)
+            return s, None
+
+        s, _ = lax.scan(step, state, None, length=chunk)
+        return s
+
+    return jax.jit(init), jax.jit(run_chunk)
+
+
+def slbfgs_chunked(
+    problem: BatchProblem,
+    w0,
+    x: jax.Array,
+    y: jax.Array,
+    opts: SLBFGSOptions | None = None,
+    chunk: int = 10,
+    callback=None,
+    resume_state: _State | None = None,
+) -> tuple[SolveResult, jax.Array]:
+    """Run S-LBFGS in jitted ``chunk``-epoch pieces (the flagship's
+    counterpart of :func:`lbfgs_ffnn_tpu.solvers.lbfgs.lbfgs_chunked`).
+
+    Returns ``(result, time_ms)`` where ``time_ms[e]`` is the *measured*
+    cumulative wall time after epoch ``e`` (chunk granularity, excluding
+    compile) — real timestamps like the reference's per-epoch chrono
+    recording (reference: src/minimizer/s_lbfgs.hpp:195-197,274-284)
+    instead of a synthesized uniform column. ``callback(state, elapsed_s)``
+    fires after each chunk — use it with ``lbfgs_ffnn_tpu.checkpoint`` to
+    make long runs kill-and-resumable; ``resume_state`` continues from such
+    a checkpoint with the full SVRG/curvature memory (anchor, (S,Y) ring,
+    iterate ring average state) intact. On resume ``w0`` may be ``None``;
+    pre-kill epochs keep NaN time entries — they were not measured here.
+    """
+    opts = opts or SLBFGSOptions()
+    if resume_state is None and w0 is None:
+        raise ValueError("w0 is required unless resume_state is given")
+    init, run_chunk = _cached_chunk_fns(
+        problem, opts, int(x.shape[0]), None, "data", chunk
+    )
+
+    state = resume_state if resume_state is not None else init(w0, x, y)
+    jax.block_until_ready(state.w)
+    # Warm-up compile on a perturbed copy; sync by pulling a scalar (the
+    # axon runtime can serve identical re-dispatches from cache and
+    # block_until_ready can return early through the tunnel — CLAUDE.md
+    # timing protocol).
+    warm = state._replace(w=state.w * (1.0 + 1e-6) + 1e-7)
+    _ = float(run_chunk(warm, x, y).gnorm)
+
+    time_ms = jnp.full((opts.epochs,), jnp.nan)
+    elapsed = 0.0
+    e_prev = int(state.epoch)  # on resume: pre-kill epochs stay NaN
+    while True:
+        t0 = time.perf_counter()
+        state = run_chunk(state, x, y)
+        e_now = int(state.epoch)  # host sync per chunk (that's the point)
+        elapsed += time.perf_counter() - t0
+        time_ms = time_ms.at[e_prev:e_now].set(elapsed * 1e3)
+        if callback is not None:
+            callback(state, elapsed)
+        if e_now == e_prev or e_now >= opts.epochs or bool(state.stop):
+            break
+        e_prev = e_now
+    return _finalize_state(state, opts), time_ms

@@ -127,3 +127,76 @@ def test_full_batch_lbfgs_trains_mlp_and_accuracy_improves():
     acc1 = evaluate(SPEC, res.x, X, Y)["accuracy"]
     assert acc1 > acc0
     assert acc1 > 60.0
+
+
+def _mlp_setup():
+    """Small f32 MLP problem for the chunked-driver tests."""
+    spec = mlp_spec([16, 12, 4], ["tanh", "linear"])
+    prob = mlp_batch_problem(spec, lam=1e-4)
+    w0 = mlp_init(spec, jax.random.PRNGKey(9), dtype=jnp.float32)
+    n = 128
+    x = jax.random.normal(jax.random.PRNGKey(10), (n, 16), dtype=jnp.float32)
+    y = jax.nn.one_hot(jnp.arange(n) % 4, 4, dtype=jnp.float32)
+    return prob, w0, x, y
+
+
+def test_slbfgs_chunked_matches_whileloop_run():
+    """The chunked driver runs the identical epoch body, so its trajectory
+    is bitwise the while_loop run's; time_ms is measured per chunk."""
+    import numpy as np
+    from lbfgs_ffnn_tpu.solvers import SLBFGSOptions, slbfgs
+    from lbfgs_ffnn_tpu.solvers.slbfgs import slbfgs_chunked
+
+    prob, w0, x, y = _mlp_setup()
+    opts = SLBFGSOptions(epochs=8, tol=1e-12, history=4, L=3,
+                         batch_size=32, step_size=0.05)
+    ref = slbfgs(prob, w0, x, y, opts)
+    res, tms = slbfgs_chunked(prob, w0, x, y, opts, chunk=3)
+
+    assert int(res.n_iters) == int(ref.n_iters) == 8
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    np.testing.assert_array_equal(
+        np.asarray(res.loss_history), np.asarray(ref.loss_history)
+    )
+    tms = np.asarray(tms)
+    assert np.isfinite(tms[:8]).all()
+    assert (np.diff(tms[:8]) >= 0).all()  # cumulative
+
+
+def test_slbfgs_chunked_checkpoint_resume(tmp_path):
+    """Kill-and-resume for the flagship: checkpoint the chunk state (SVRG
+    anchor, curvature ring, iterate-ring average state) mid-run, restore
+    into a fresh driver, and reach the identical final result
+    (VERDICT round 1, item 4)."""
+    import jax
+    import numpy as np
+    from lbfgs_ffnn_tpu.checkpoint import restore_checkpoint, save_checkpoint
+    from lbfgs_ffnn_tpu.solvers import SLBFGSOptions
+    from lbfgs_ffnn_tpu.solvers.slbfgs import slbfgs_chunked
+
+    prob, w0, x, y = _mlp_setup()
+    opts = SLBFGSOptions(epochs=9, tol=1e-12, history=4, L=3,
+                         batch_size=32, step_size=0.05)
+
+    res_full, _ = slbfgs_chunked(prob, w0, x, y, opts, chunk=3)
+
+    saved = {}
+
+    def save_at_3(state, elapsed):
+        if int(state.epoch) == 3 and not saved:
+            save_checkpoint(tmp_path / "mid", state)
+            saved["tmpl"] = jax.tree_util.tree_map(jnp.zeros_like, state)
+
+    slbfgs_chunked(prob, w0, x, y, opts, chunk=3, callback=save_at_3)
+    assert saved, "checkpoint callback never fired"
+
+    restored = restore_checkpoint(tmp_path / "mid", saved["tmpl"])
+    assert int(restored.epoch) == 3
+    # w0=None: only the checkpoint is needed (the kill-and-resume case).
+    res_resumed, tms = slbfgs_chunked(prob, None, x, y, opts, chunk=3,
+                                      resume_state=restored)
+    np.testing.assert_array_equal(np.asarray(res_resumed.x), np.asarray(res_full.x))
+    assert int(res_resumed.n_iters) == int(res_full.n_iters)
+    tms = np.asarray(tms)
+    assert np.isnan(tms[:3]).all()      # pre-kill epochs: not measured here
+    assert np.isfinite(tms[3:9]).all()
