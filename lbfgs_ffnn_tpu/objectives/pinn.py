@@ -14,6 +14,21 @@ objective.
 Network conventions match the reference PINN: tanh MLP, Xavier-uniform init
 ``U(-sqrt(6/(in+out)), +sqrt(6/(in+out)))`` (reference:
 src/enzyme/pinn_network.hpp:74-92 — unseeded there; seeded here).
+
+**TPU matmul precision (load-bearing).** On TPU, XLA's *default* f32 dot
+lowers to bf16 multiplies on the MXU. For MLP classification that is
+harmless (measured: identical convergence), but PINN losses differentiate
+the network twice — forward-over-forward jvp for u_xx — and the ~8-bit
+multiply mantissa poisons those second derivatives enough that an f32
+L-BFGS run stalls ~20x above the f64 loss while exhausting its line-search
+budget every iteration (round-1's "f32 PINN gap": 3000-iter coarse Burgers
+stalled at 0.238 vs f64's 0.0118, ~85 Wolfe trials/iter). The PINN
+objectives therefore trace all their matmuls under
+``jax.default_matmul_precision("highest")`` (full-f32 MXU passes; AD
+transposes inherit the primal dots' precision) — with it the same f32 TPU
+run reaches 0.0027 (BELOW f64's final loss) at ~2 trials/iter. The
+network is 20 wide, so the extra MXU passes are free; the option
+``precision=`` exposes the knob regardless.
 """
 
 from __future__ import annotations
@@ -158,20 +173,26 @@ def burgers_problem(
     w_bc: float = 20.0,
     w_pde: float = 1.0,
     nu: float = BURGERS_NU,
+    precision: str = "highest",
 ) -> Problem:
     """Weighted IC/BC/PDE mean-squared loss
-    (reference: test_burgers_parallel.cpp:127-161)."""
+    (reference: test_burgers_parallel.cpp:127-161).
+
+    ``precision`` sets the matmul precision the loss (and everything AD
+    derives from it) is traced under — "highest" is required for f32
+    convergence on TPU (see the module docstring)."""
     spec = spec or default_burgers_spec()
 
     def fun(w, aux):
         pts: BurgersPoints = aux
-        u_ic = _u(spec, w, pts.ic_xt)
-        loss_ic = jnp.mean((u_ic - pts.ic_target) ** 2)
-        u_bc = _u(spec, w, pts.bc_xt)
-        loss_bc = jnp.mean(u_bc**2)
-        r = burgers_residual(spec, w, pts.col_xt, nu)
-        loss_pde = jnp.mean(r**2)
-        return w_ic * loss_ic + w_bc * loss_bc + w_pde * loss_pde
+        with jax.default_matmul_precision(precision):
+            u_ic = _u(spec, w, pts.ic_xt)
+            loss_ic = jnp.mean((u_ic - pts.ic_target) ** 2)
+            u_bc = _u(spec, w, pts.bc_xt)
+            loss_bc = jnp.mean(u_bc**2)
+            r = burgers_residual(spec, w, pts.col_xt, nu)
+            loss_pde = jnp.mean(r**2)
+            return w_ic * loss_ic + w_bc * loss_bc + w_pde * loss_pde
 
     return make_problem(fun)
 
@@ -189,35 +210,37 @@ def oscillator_problem(
     spec: MLPSpec | None = None,
     w_ode: float = 1.0,
     w_bc: float = 1.0,
+    precision: str = "highest",
 ) -> Problem:
     """ODE residual + initial conditions, with u'' from jvp-of-jvp (the
     reference nests reverse-mode Enzyme for the same second derivative,
-    enzyme_test2.cpp:22-40)."""
+    enzyme_test2.cpp:22-40). ``precision``: see the module docstring."""
     spec = spec or default_oscillator_spec()
 
     def fun(w, aux):
         xs = aux  # (n, 1) collocation points
 
-        def u1(pt):
-            return mlp_apply_single(spec, w, pt)[0]
+        with jax.default_matmul_precision(precision):
+            def u1(pt):
+                return mlp_apply_single(spec, w, pt)[0]
 
-        def per_point(pt):
-            one = jnp.ones_like(pt)
-            u, du = jax.jvp(u1, (pt,), (one,))
+            def per_point(pt):
+                one = jnp.ones_like(pt)
+                u, du = jax.jvp(u1, (pt,), (one,))
 
-            def du_fn(q):
-                return jax.jvp(u1, (q,), (jnp.ones_like(q),))[1]
+                def du_fn(q):
+                    return jax.jvp(u1, (q,), (jnp.ones_like(q),))[1]
 
-            _, ddu = jax.jvp(du_fn, (pt,), (one,))
-            return u, ddu
+                _, ddu = jax.jvp(du_fn, (pt,), (one,))
+                return u, ddu
 
-        u, ddu = jax.vmap(per_point)(xs)
-        ode = jnp.mean((ddu + u) ** 2)
+            u, ddu = jax.vmap(per_point)(xs)
+            ode = jnp.mean((ddu + u) ** 2)
 
-        x0 = jnp.zeros((1,), dtype=xs.dtype)
-        u0, du0 = jax.jvp(u1, (x0,), (jnp.ones_like(x0),))
-        bc = u0**2 + (du0 - 1.0) ** 2
-        return w_ode * ode + w_bc * bc
+            x0 = jnp.zeros((1,), dtype=xs.dtype)
+            u0, du0 = jax.jvp(u1, (x0,), (jnp.ones_like(x0),))
+            bc = u0**2 + (du0 - 1.0) ** 2
+            return w_ode * ode + w_bc * bc
 
     return make_problem(fun)
 

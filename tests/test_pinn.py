@@ -114,3 +114,52 @@ def test_residual_formulations_agree():
     r_v = burgers_residual(spec, w, xt, formulation="vmap")
     r_b = burgers_residual(spec, w, xt, formulation="batched")
     np.testing.assert_allclose(np.asarray(r_v), np.asarray(r_b), rtol=1e-10, atol=1e-12)
+
+
+def test_pinn_objectives_trace_highest_precision_matmuls():
+    """The PINN losses must trace their dots at HIGHEST matmul precision:
+    TPU's default f32 dot uses bf16 multiplies, which poisons the
+    forward-over-forward u_xx derivatives badly enough that f32 L-BFGS
+    stalls ~20x above the f64 loss (measured; see objectives/pinn.py
+    docstring). This pins the fix at the jaxpr level so it cannot silently
+    regress."""
+    import jax
+    from jax import lax
+    from lbfgs_ffnn_tpu.objectives.pinn import (
+        burgers_points, burgers_problem, oscillator_points, oscillator_problem,
+    )
+
+    def dot_precisions(fun, *args):
+        precs = []
+
+        def walk(jaxpr):
+            for eqn in jaxpr.eqns:
+                if eqn.primitive.name == "dot_general":
+                    precs.append(eqn.params.get("precision"))
+                for v in eqn.params.values():
+                    if hasattr(v, "jaxpr"):  # nested (pjit/custom_jvp...)
+                        walk(v.jaxpr)
+                    elif isinstance(v, (list, tuple)):
+                        for vi in v:
+                            if hasattr(vi, "jaxpr"):
+                                walk(vi.jaxpr)
+
+        walk(jax.make_jaxpr(fun)(*args).jaxpr)
+        return precs
+
+    prob = burgers_problem()
+    pts = burgers_points(dx=0.1, dt=0.2, int_dx=0.25, int_dt=0.5, dtype=jnp.float32)
+    w = pinn_init(default_burgers_spec(), jax.random.PRNGKey(0))
+    precs = dot_precisions(lambda w: prob.value_and_grad(w, pts), w)
+    assert precs, "no dot_general found in the traced PINN value_and_grad"
+    assert all(
+        p == (lax.Precision.HIGHEST, lax.Precision.HIGHEST) for p in precs
+    ), f"non-HIGHEST dots in the PINN objective: {set(precs)}"
+
+    oprob = oscillator_problem()
+    xs = oscillator_points(8)
+    w2 = pinn_init(default_oscillator_spec(), jax.random.PRNGKey(1))
+    precs2 = dot_precisions(lambda w: oprob.grad(w, xs), w2)
+    assert precs2 and all(
+        p == (lax.Precision.HIGHEST, lax.Precision.HIGHEST) for p in precs2
+    )
