@@ -45,8 +45,11 @@ parser.add_argument("--record-accuracy", action="store_true",
                          "stochastic solvers (rendered by plot_results.py, "
                          "reference: scripts/plot_results.py:107-127)")
 parser.add_argument("--timed-chunks", type=int, default=0,
-                    help=">0: run L-BFGS/S-LBFGS in K-iteration chunks with "
-                         "measured (not synthesized) cumulative TimeMs")
+                    help=">0: run every solver in K-iteration chunks with "
+                         "measured (not synthesized) cumulative TimeMs; "
+                         "-1: auto (max_iters//5 — few enough host syncs "
+                         "that the tunnel round-trip per chunk boundary "
+                         "stays a small fraction of the measured time)")
 args = parser.parse_args()
 
 from lbfgs_ffnn_tpu.data.datasets import load_fashion_mnist, load_mnist  # noqa: E402
@@ -118,8 +121,10 @@ if args.batched_ls:
 for solver, cfg in runs:
     if args.record_accuracy and solver in ("sgd", "slbfgs"):
         cfg.record_accuracy = True
-    if args.timed_chunks > 0 and solver in ("lbfgs", "slbfgs"):
+    if args.timed_chunks > 0:
         cfg.timed_chunks = args.timed_chunks
+    elif args.timed_chunks == -1:
+        cfg.timed_chunks = max(50, cfg.max_iters // 5)
     print(f"Running {cfg.name} ({solver})...")
     launcher.train(solver, cfg)
     launcher.test()

@@ -166,28 +166,43 @@ class Launcher:
             self._bind_params(config.seed)
 
         measured_ms = None
-        if config.timed_chunks > 0 and solver == "lbfgs":
+        if config.timed_chunks > 0:
+            # Chunked drivers for EVERY solver: jitted K-iteration (or
+            # K-epoch) pieces with measured cumulative wall time, so no
+            # committed TimeMs column is ever synthesized.
+            from lbfgs_ffnn_tpu.solvers.gd import gd_chunked
             from lbfgs_ffnn_tpu.solvers.lbfgs import lbfgs_chunked
-
-            prob = self._get_problem()
-            opts = self._lbfgs_opts(config)
-            t0 = time.perf_counter()
-            result, time_ms = lbfgs_chunked(
-                prob, self.weights, aux=(self._x, self._y), opts=opts,
-                chunk=config.timed_chunks,
-            )
-            wall = time.perf_counter() - t0
-            measured_ms = time_ms
-        elif config.timed_chunks > 0 and solver == "slbfgs":
+            from lbfgs_ffnn_tpu.solvers.sgd import sgd_chunked
             from lbfgs_ffnn_tpu.solvers.slbfgs import slbfgs_chunked
 
-            bp = self._get_batch_problem(config.lam if config.lam > 0 else 1e-4)
-            opts = self._slbfgs_opts(config, int(self._x.shape[0]))
+            K = config.timed_chunks
+            N = int(self._x.shape[0])
             t0 = time.perf_counter()
-            result, time_ms = slbfgs_chunked(
-                bp, self.weights, self._x, self._y, opts,
-                chunk=config.timed_chunks,
-            )
+            if solver == "lbfgs":
+                result, time_ms = lbfgs_chunked(
+                    self._get_problem(), self.weights,
+                    aux=(self._x, self._y), opts=self._lbfgs_opts(config),
+                    chunk=K,
+                )
+            elif solver == "slbfgs":
+                result, time_ms = slbfgs_chunked(
+                    self._get_batch_problem(config.lam if config.lam > 0 else 1e-4),
+                    self.weights, self._x, self._y,
+                    self._slbfgs_opts(config, N), chunk=K,
+                )
+            elif solver == "sgd":
+                result, time_ms = sgd_chunked(
+                    self._get_batch_problem(0.0), self.weights,
+                    self._x, self._y, self._sgd_opts(config), chunk=K,
+                )
+            elif solver == "gd":
+                result, time_ms = gd_chunked(
+                    self._get_problem(), self.weights,
+                    aux=(self._x, self._y), opts=self._gd_opts(config),
+                    chunk=K,
+                )
+            else:
+                raise ValueError(f"unknown solver {solver!r}")
             wall = time.perf_counter() - t0
             measured_ms = time_ms
         else:
@@ -278,6 +293,28 @@ class Launcher:
             two_loop_impl=c.two_loop_impl,
         )
 
+    def _gd_opts(self, c: UnifiedConfig) -> GDOptions:
+        # UnifiedGD_CPU disables line search (unified_optimization.hpp:177);
+        # CudaGD adds momentum (cuda/gd.cuh:78-88).
+        return GDOptions(
+            max_iters=c.max_iters, tol=c.tolerance, step_size=c.learning_rate,
+            momentum=c.momentum, use_line_search=False,
+        )
+
+    def _sgd_opts(self, c: UnifiedConfig) -> SGDOptions:
+        cuda = self.backend_style == "cuda"
+        return SGDOptions(
+            metric_fn=self._accuracy_metric() if c.record_accuracy else None,
+            epochs=c.max_iters, batch_size=c.batch_size,
+            step_size=c.learning_rate,
+            momentum=c.momentum if cuda else 0.0,
+            sampling="sequential" if cuda else "random",
+            lr_decay=c.lr_decay if c.lr_decay > 0 else 1.0,
+            lr_decay_step=c.lr_decay_rate if c.lr_decay > 0 else 0,
+            tol=c.tolerance if cuda else 0.0,
+            seed=c.seed,
+        )
+
     def _slbfgs_opts(self, c: UnifiedConfig, N: int) -> SLBFGSOptions:
         # Reference strategy defaults: lambda=1e-4 L2, b_H = batch/2,
         # m_inner = N/batch (unified_optimization.hpp:314-405).
@@ -297,13 +334,8 @@ class Launcher:
         N = int(x.shape[0])
 
         if solver == "gd":
-            # UnifiedGD_CPU disables line search (unified_optimization.hpp:177);
-            # CudaGD adds momentum (cuda/gd.cuh:78-88).
             prob = self._get_problem()
-            opts = GDOptions(
-                max_iters=c.max_iters, tol=c.tolerance, step_size=c.learning_rate,
-                momentum=c.momentum, use_line_search=False,
-            )
+            opts = self._gd_opts(c)
             return lambda: gradient_descent(prob, w0, aux=(x, y), opts=opts)
 
         if solver == "lbfgs":
@@ -313,17 +345,7 @@ class Launcher:
 
         if solver == "sgd":
             bp = self._get_batch_problem(0.0)
-            opts = SGDOptions(
-                metric_fn=self._accuracy_metric() if c.record_accuracy else None,
-                epochs=c.max_iters, batch_size=c.batch_size,
-                step_size=c.learning_rate,
-                momentum=c.momentum if cuda else 0.0,
-                sampling="sequential" if cuda else "random",
-                lr_decay=c.lr_decay if c.lr_decay > 0 else 1.0,
-                lr_decay_step=c.lr_decay_rate if c.lr_decay > 0 else 0,
-                tol=c.tolerance if cuda else 0.0,
-                seed=c.seed,
-            )
+            opts = self._sgd_opts(c)
             return lambda: sgd(bp, w0, x, y, opts)
 
         if solver == "slbfgs":

@@ -12,6 +12,8 @@ history is recorded on-device.
 
 from __future__ import annotations
 
+import functools
+import time
 from typing import Any, NamedTuple
 
 import jax
@@ -54,29 +56,36 @@ class _State(NamedTuple):
     ng: jax.Array
 
 
-def _build(problem: Problem, opts: GDOptions):
+def _init_state(problem: Problem, opts: GDOptions, x0, aux) -> _State:
+    f0, g0 = problem.value_and_grad(x0, aux)
+    loss_h, gnorm_h = init_history(opts.max_iters, x0.dtype)
+    return _State(
+        k=jnp.int32(0),
+        x=x0,
+        f=f0,
+        g=g0,
+        gnorm=jnp.linalg.norm(g0),
+        v=jnp.zeros_like(x0),
+        loss_h=loss_h,
+        gnorm_h=gnorm_h,
+        nf=jnp.int32(1),
+        ng=jnp.int32(1),
+    )
+
+
+def _not_done(s: _State, opts: GDOptions):
+    return (s.k < opts.max_iters) & (s.gnorm >= opts.tol)
+
+
+def _finalize_state(s: _State, opts: GDOptions) -> SolveResult:
+    return finalize(s.x, s.k, s.gnorm < opts.tol, s.f, s.gnorm,
+                    s.loss_h, s.gnorm_h, n_fevals=s.nf, n_gevals=s.ng)
+
+
+def _make_body(problem: Problem, opts: GDOptions):
     lean = lean_gate(problem, opts.ls_value_only)
 
-    def solve(x0, aux):
-        f0, g0 = problem.value_and_grad(x0, aux)
-        loss_h, gnorm_h = init_history(opts.max_iters, x0.dtype)
-        s0 = _State(
-            k=jnp.int32(0),
-            x=x0,
-            f=f0,
-            g=g0,
-            gnorm=jnp.linalg.norm(g0),
-            v=jnp.zeros_like(x0),
-            loss_h=loss_h,
-            gnorm_h=gnorm_h,
-            nf=jnp.int32(1),
-            ng=jnp.int32(1),
-        )
-
-        def cond(s: _State):
-            return (s.k < opts.max_iters) & (s.gnorm >= opts.tol)
-
-        def body(s: _State) -> _State:
+    def body(s: _State, aux) -> _State:
             ls = None
             if opts.momentum > 0.0:
                 v = opts.momentum * s.v - opts.step_size * s.g
@@ -113,9 +122,18 @@ def _build(problem: Problem, opts: GDOptions):
                 nf=s.nf + nf_add, ng=s.ng + ng_add,
             )
 
-        s = lax.while_loop(cond, body, s0)
-        return finalize(s.x, s.k, s.gnorm < opts.tol, s.f, s.gnorm,
-                        s.loss_h, s.gnorm_h, n_fevals=s.nf, n_gevals=s.ng)
+    return body
+
+
+def _build(problem: Problem, opts: GDOptions):
+    body = _make_body(problem, opts)
+
+    def solve(x0, aux):
+        s0 = _init_state(problem, opts, x0, aux)
+        s = lax.while_loop(
+            lambda s: _not_done(s, opts), lambda s: body(s, aux), s0
+        )
+        return _finalize_state(s, opts)
 
     return solve
 
@@ -125,3 +143,58 @@ def gradient_descent(
 ) -> SolveResult:
     opts = opts or GDOptions()
     return cached_jit_solve(_build, problem, opts)(x0, aux)
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_chunk_fns(problem, opts, chunk: int):
+    def init(x0, aux):
+        return _init_state(problem, opts, x0, aux)
+
+    body = _make_body(problem, opts)
+
+    def run_chunk(state, aux):
+        # Bounded while_loop, not scan+cond (the cond identity branch
+        # copies the whole carry per step — see lbfgs._cached_chunk_fns).
+        k_end = state.k + chunk
+        return lax.while_loop(
+            lambda s: _not_done(s, opts) & (s.k < k_end),
+            lambda s: body(s, aux),
+            state,
+        )
+
+    return jax.jit(init), jax.jit(run_chunk)
+
+
+def gd_chunked(
+    problem: Problem,
+    x0: jax.Array,
+    aux: Any = (),
+    opts: GDOptions | None = None,
+    chunk: int = 10,
+    callback=None,
+) -> tuple[SolveResult, jax.Array]:
+    """Run GD in jitted ``chunk``-iteration pieces with *measured*
+    cumulative wall time per chunk (same protocol as ``lbfgs_chunked``) —
+    the honest counterpart of the reference's per-iteration cudaEvent
+    timing (reference: src/cuda/gd.cuh:63-98)."""
+    opts = opts or GDOptions()
+    init, run_chunk = _cached_chunk_fns(problem, opts, chunk)
+    state = init(x0, aux)
+    jax.block_until_ready(state.x)
+    warm = init(x0 * (1.0 + 1e-6) + 1e-7, aux)
+    _ = float(run_chunk(warm, aux).f)  # compile + defeat dispatch cache
+
+    time_ms = jnp.full((opts.max_iters,), jnp.nan)
+    elapsed, k_prev = 0.0, 0
+    while True:
+        t0 = time.perf_counter()
+        state = run_chunk(state, aux)
+        k_now = int(state.k)
+        elapsed += time.perf_counter() - t0
+        time_ms = time_ms.at[k_prev:k_now].set(elapsed * 1e3)
+        if callback is not None:
+            callback(state, elapsed)
+        if k_now == k_prev or k_now >= opts.max_iters or float(state.gnorm) < opts.tol:
+            break
+        k_prev = k_now
+    return _finalize_state(state, opts), time_ms

@@ -439,14 +439,16 @@ def _cached_chunk_fns(problem, opts, chunk: int):
     body = _make_body(problem, opts)
 
     def run_chunk(state, aux):
-        def step(s, _):
-            s = lax.cond(
-                _not_done(s, opts), lambda s: body(s, aux), lambda s: s, s
-            )
-            return s, None
-
-        s, _ = lax.scan(step, state, None, length=chunk)
-        return s
+        # A bounded while_loop, NOT scan+cond: a cond's identity branch
+        # copies the whole carry (histories + the m x n ring) every step,
+        # measured ~2.5x slower per iteration than the plain solve. This
+        # body is bit-identical to the full solve's.
+        k_end = state.k + chunk
+        return lax.while_loop(
+            lambda s: _not_done(s, opts) & (s.k < k_end),
+            lambda s: body(s, aux),
+            state,
+        )
 
     return jax.jit(init), jax.jit(run_chunk)
 

@@ -17,6 +17,8 @@ with a fixed-shape masked gather.
 
 from __future__ import annotations
 
+import functools
+import time
 from typing import NamedTuple
 
 import jax
@@ -58,7 +60,26 @@ class _State(NamedTuple):
     metric_h: jax.Array
 
 
-def _build(problem: BatchProblem, opts: SGDOptions, N: int):
+def _init_state(opts: SGDOptions, w0, x, y) -> _State:
+    loss_h, gnorm_h = init_history(opts.epochs, w0.dtype)
+    return _State(
+        epoch=jnp.int32(0),
+        w=w0,
+        v=jnp.zeros_like(w0),
+        lr=jnp.asarray(opts.step_size, dtype=w0.dtype),
+        prev_loss=jnp.asarray(jnp.inf, dtype=w0.dtype),
+        stop=jnp.array(False),
+        loss_h=loss_h,
+        gnorm_h=gnorm_h,
+        metric_h=init_metric_history(opts.metric_fn, opts.epochs, w0, x, y),
+    )
+
+
+def _not_done(s: _State, opts: SGDOptions):
+    return (s.epoch < opts.epochs) & ~s.stop
+
+
+def _make_parts(problem: BatchProblem, opts: SGDOptions, N: int):
     b = min(opts.batch_size, N)
     if opts.sampling == "random":
         m = max(N // b, 1)
@@ -67,29 +88,14 @@ def _build(problem: BatchProblem, opts: SGDOptions, N: int):
     else:
         raise ValueError(f"unknown sampling {opts.sampling!r}")
 
-    def solve(w0, x, y):
+    def make_body(x, y):
         key = jax.random.PRNGKey(opts.seed)
-        loss_h, gnorm_h = init_history(opts.epochs, w0.dtype)
-        s0 = _State(
-            epoch=jnp.int32(0),
-            w=w0,
-            v=jnp.zeros_like(w0),
-            lr=jnp.asarray(opts.step_size, dtype=w0.dtype),
-            prev_loss=jnp.asarray(jnp.inf, dtype=w0.dtype),
-            stop=jnp.array(False),
-            loss_h=loss_h,
-            gnorm_h=gnorm_h,
-            metric_h=init_metric_history(opts.metric_fn, opts.epochs, w0, x, y),
-        )
 
         def update(w, v, lr, g):
             if opts.momentum > 0.0:
                 v = opts.momentum * v - lr * g
                 return w + v, v
             return w - lr * g, v
-
-        def cond(s: _State):
-            return (s.epoch < opts.epochs) & ~s.stop
 
         def body(s: _State) -> _State:
             # Step-wise lr decay before the epoch (reference: src/cuda/sgd.cuh:97-99).
@@ -145,15 +151,86 @@ def _build(problem: BatchProblem, opts: SGDOptions, N: int):
                 stop=stop, loss_h=loss_h, gnorm_h=gnorm_h, metric_h=metric_h,
             )
 
-        s = lax.while_loop(cond, body, s0)
-        last = jnp.maximum(s.epoch - 1, 0)
-        return finalize(
-            s.w, s.epoch, s.stop, s.loss_h[last], s.gnorm_h[last],
-            s.loss_h, s.gnorm_h,
-            s.metric_h if opts.metric_fn is not None else None,
+        return body
+
+    return make_body
+
+
+def _finalize_state(s: _State, opts: SGDOptions) -> SolveResult:
+    last = jnp.maximum(s.epoch - 1, 0)
+    return finalize(
+        s.w, s.epoch, s.stop, s.loss_h[last], s.gnorm_h[last],
+        s.loss_h, s.gnorm_h,
+        s.metric_h if opts.metric_fn is not None else None,
+    )
+
+
+def _build(problem: BatchProblem, opts: SGDOptions, N: int):
+    make_body = _make_parts(problem, opts, N)
+
+    def solve(w0, x, y):
+        body = make_body(x, y)
+        s = lax.while_loop(
+            lambda s: _not_done(s, opts), body, _init_state(opts, w0, x, y)
         )
+        return _finalize_state(s, opts)
 
     return solve
+
+
+@functools.lru_cache(maxsize=256)
+def _cached_chunk_fns(problem, opts, N, chunk: int):
+    make_body = _make_parts(problem, opts, N)
+
+    def init(w0, x, y):
+        return _init_state(opts, w0, x, y)
+
+    def run_chunk(state, x, y):
+        # Bounded while_loop, not scan+cond (the cond identity branch
+        # copies the whole carry per epoch — see lbfgs._cached_chunk_fns).
+        body = make_body(x, y)
+        e_end = state.epoch + chunk
+        return lax.while_loop(
+            lambda s: _not_done(s, opts) & (s.epoch < e_end), body, state
+        )
+
+    return jax.jit(init), jax.jit(run_chunk)
+
+
+def sgd_chunked(
+    problem: BatchProblem,
+    w0,
+    x,
+    y,
+    opts: SGDOptions | None = None,
+    chunk: int = 10,
+    callback=None,
+) -> tuple[SolveResult, jax.Array]:
+    """Run SGD in jitted ``chunk``-epoch pieces with *measured* cumulative
+    per-epoch wall time (same protocol as ``slbfgs_chunked``) — the honest
+    counterpart of the reference's per-epoch cudaEvent/chrono timing
+    (reference: src/cuda/sgd.cuh:79-86, src/minimizer/s_gd.hpp:95-131)."""
+    opts = opts or SGDOptions()
+    init, run_chunk = _cached_chunk_fns(problem, opts, int(x.shape[0]), chunk)
+    state = init(w0, x, y)
+    jax.block_until_ready(state.w)
+    warm = state._replace(w=state.w * (1.0 + 1e-6) + 1e-7)
+    _ = float(run_chunk(warm, x, y).prev_loss)
+
+    time_ms = jnp.full((opts.epochs,), jnp.nan)
+    elapsed, e_prev = 0.0, 0
+    while True:
+        t0 = time.perf_counter()
+        state = run_chunk(state, x, y)
+        e_now = int(state.epoch)
+        elapsed += time.perf_counter() - t0
+        time_ms = time_ms.at[e_prev:e_now].set(elapsed * 1e3)
+        if callback is not None:
+            callback(state, elapsed)
+        if e_now == e_prev or e_now >= opts.epochs or bool(state.stop):
+            break
+        e_prev = e_now
+    return _finalize_state(state, opts), time_ms
 
 
 def sgd(

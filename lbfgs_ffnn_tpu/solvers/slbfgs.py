@@ -495,14 +495,13 @@ def _cached_chunk_fns(problem, opts, N, mesh, axis, chunk: int):
         return _init_state(opts, w0, x, y)
 
     def run_chunk(state, x, y):
+        # Bounded while_loop, not scan+cond (the cond identity branch
+        # copies the whole carry per epoch — see lbfgs._cached_chunk_fns).
         body = make_body(x, y)
-
-        def step(s, _):
-            s = lax.cond(_not_done(s, opts), body, lambda s: s, s)
-            return s, None
-
-        s, _ = lax.scan(step, state, None, length=chunk)
-        return s
+        e_end = state.epoch + chunk
+        return lax.while_loop(
+            lambda s: _not_done(s, opts) & (s.epoch < e_end), body, state
+        )
 
     return jax.jit(init), jax.jit(run_chunk)
 

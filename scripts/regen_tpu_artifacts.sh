@@ -1,0 +1,19 @@
+#!/bin/bash
+# Regenerate every results/tpu_* history CSV on the real chip with MEASURED
+# cumulative TimeMs (chunked drivers; --timed-chunks -1 = max_iters/5 per
+# chunk, so the ~35 ms tunnel round trip per chunk boundary stays a small,
+# documented fraction of the measured time). Run from the repo root on TPU.
+set -e
+R=/root/repo
+run() {  # run <results_subdir> <run_mnist args...>
+  d="$R/results/$1"; shift
+  mkdir -p "$d"; cd "$d"
+  python "$R/experiments/run_mnist.py" --timed-chunks -1 --record-accuracy "$@"
+  python "$R/scripts/plot_results.py" . || true
+}
+run tpu_mnist_784_128_10        --style cuda --dataset mnist   --iters 1000 --batched-ls
+run tpu_mnist_cpu_style_s5000   --style cpu  --dataset mnist   --iters 1000
+run tpu_fashion_784_128_10      --style cuda --dataset fashion --iters 1000
+run tpu_fashion_cpu_style_s5000 --style cpu  --dataset fashion --iters 500
+run tpu_fashion_deep            --style cuda --dataset fashion --iters 1000 --deep
+run tpu_fashion_deep_cpu_style  --style cpu  --dataset fashion --iters 500 --deep

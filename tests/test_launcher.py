@@ -140,3 +140,20 @@ def test_slbfgs_timed_chunks_real_times(tmp_path, monkeypatch):
     assert np.all(np.diff(t) >= 0)
     assert t[0] == t[1]  # chunk granularity
     assert t[1] < t[2] or report.history.n <= 2
+
+
+@pytest.mark.parametrize("solver", ["gd", "sgd"])
+def test_gd_sgd_timed_chunks_real_times(solver, tmp_path, monkeypatch):
+    """timed_chunks covers every solver, so no committed artifact needs a
+    synthesized TimeMs column (VERDICT round 1, item 5)."""
+    monkeypatch.chdir(tmp_path)
+    launcher = make_launcher("cuda")
+    cfg = UnifiedConfig(name=f"Chunked_{solver}", max_iters=8, tolerance=0.0,
+                        learning_rate=0.05, momentum=0.9, batch_size=64,
+                        log_interval=1, timed_chunks=3)
+    report = launcher.train(solver, cfg, verbose=False)
+    n = int(report.result.n_iters)
+    t = report.history.time_ms[:n]
+    assert np.all(np.isfinite(t))
+    assert np.all(np.diff(t) >= 0)
+    assert t[0] == t[1] == t[2]  # chunk granularity
