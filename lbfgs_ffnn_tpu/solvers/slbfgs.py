@@ -515,6 +515,8 @@ def slbfgs_chunked(
     chunk: int = 10,
     callback=None,
     resume_state: _State | None = None,
+    mesh=None,
+    axis_name: str = "data",
 ) -> tuple[SolveResult, jax.Array]:
     """Run S-LBFGS in jitted ``chunk``-epoch pieces (the flagship's
     counterpart of :func:`lbfgs_ffnn_tpu.solvers.lbfgs.lbfgs_chunked`).
@@ -529,12 +531,14 @@ def slbfgs_chunked(
     a checkpoint with the full SVRG/curvature memory (anchor, (S,Y) ring,
     iterate ring average state) intact. On resume ``w0`` may be ``None``;
     pre-kill epochs keep NaN time entries — they were not measured here.
+    ``mesh`` enables the explicit batch-sharded evaluation mode exactly as
+    in :func:`slbfgs` (pass sharded ``x``/``y``, replicated ``w0``).
     """
     opts = opts or SLBFGSOptions()
     if resume_state is None and w0 is None:
         raise ValueError("w0 is required unless resume_state is given")
     init, run_chunk = _cached_chunk_fns(
-        problem, opts, int(x.shape[0]), None, "data", chunk
+        problem, opts, int(x.shape[0]), mesh, axis_name, chunk
     )
 
     state = resume_state if resume_state is not None else init(w0, x, y)

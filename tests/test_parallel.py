@@ -321,3 +321,20 @@ def test_slbfgs_global_sampling_trajectory_matches_single_device():
         np.asarray(r_dp.gnorm_history[:4]), np.asarray(r_1d.gnorm_history[:4]),
         rtol=1e-9,
     )
+
+
+def test_slbfgs_chunked_mesh_mode_matches_whileloop():
+    """The chunked driver composes with the explicit-sharded mode: same
+    trajectory as the mesh while_loop run, measured time per epoch."""
+    from lbfgs_ffnn_tpu.solvers.slbfgs import slbfgs_chunked
+
+    mesh = make_mesh()
+    bp = mlp_batch_problem(SPEC, lam=1e-4)
+    xs, ys = shard_batch(mesh, X, Y)
+    w = replicate(mesh, W0)
+    opts = SLBFGSOptions(epochs=4, tol=1e-12, history=4, L=2,
+                         batch_size=64, step_size=0.05, sampling="global")
+    ref = slbfgs(bp, w, xs, ys, opts, mesh=mesh)
+    res, tms = slbfgs_chunked(bp, w, xs, ys, opts, chunk=2, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(res.x), np.asarray(ref.x))
+    assert np.isfinite(np.asarray(tms)[:4]).all()
