@@ -199,3 +199,104 @@ def test_two_process_lbfgs_matches_single_process(tmp_path):
                                   line_search="armijo"))
     assert int(res.n_iters) == results[0][0]
     np.testing.assert_allclose(float(res.final_loss), results[0][1], rtol=1e-9)
+
+
+_SLBFGS_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("XLA_FLAGS", None)
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+
+sys.path.insert(0, os.getcwd())
+from lbfgs_ffnn_tpu.parallel import distributed_init, make_mesh
+
+distributed_init(coordinator_address=f"localhost:{port}",
+                 num_processes=n, process_id=pid)
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import multihost_utils
+from jax.sharding import PartitionSpec as P
+
+from lbfgs_ffnn_tpu.objectives.mlp import mlp_batch_problem, mlp_init, mlp_spec
+from lbfgs_ffnn_tpu.solvers import SLBFGSOptions, slbfgs
+
+spec = mlp_spec([6, 8, 3], ["tanh", "linear"])
+bp = mlp_batch_problem(spec, lam=1e-4)
+w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+
+rng = np.random.default_rng(42)
+X = rng.normal(size=(32, 6))
+Y = np.eye(3)[np.arange(32) % 3].astype(np.float64)
+x_local = jnp.asarray(X[pid * 16:(pid + 1) * 16])
+y_local = jnp.asarray(Y[pid * 16:(pid + 1) * 16])
+
+mesh = make_mesh(axis_name="data")
+gx = multihost_utils.host_local_array_to_global_array(x_local, mesh, P("data"))
+gy = multihost_utils.host_local_array_to_global_array(y_local, mesh, P("data"))
+gw = multihost_utils.host_local_array_to_global_array(w0, mesh, P())
+
+opts = SLBFGSOptions(epochs=3, tol=1e-12, history=4, L=2,
+                     batch_size=8, step_size=0.05, sampling="global")
+res = slbfgs(bp, gw, gx, gy, opts, mesh=mesh)
+lh = np.asarray(jax.device_get(res.loss_history.addressable_data(0)))[:3]
+print("RESULT %d %d " % (pid, int(res.n_iters))
+      + ",".join("%.12e" % v for v in lh), flush=True)
+"""
+
+
+def test_two_process_slbfgs_global_sampling_matches_single_process(tmp_path):
+    """The flagship's explicit-sharded mode with layout-invariant sampling
+    across a REAL process boundary: 2 OS processes federate via gloo, the
+    batch axis is sharded across them, and the per-epoch loss trajectory
+    matches the single-process run (the global batches are identical by
+    construction)."""
+    worker = tmp_path / "slbfgs_worker.py"
+    worker.write_text(_SLBFGS_WORKER)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            cwd=str(Path(__file__).resolve().parent.parent),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out[-2000:]}\n{err[-4000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                parts = line.split()
+                results[int(parts[1])] = (int(parts[2]), parts[3])
+    assert set(results) == {0, 1}
+    assert results[0] == results[1]  # replicated trajectory across processes
+
+    # Single-process oracle: same data, seeds, config (sampling mode
+    # irrelevant on one device — global batches are the 1-device batches).
+    import os
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_batch_problem, mlp_init, mlp_spec
+    from lbfgs_ffnn_tpu.solvers import SLBFGSOptions, slbfgs
+
+    spec = mlp_spec([6, 8, 3], ["tanh", "linear"])
+    bp = mlp_batch_problem(spec, lam=1e-4)
+    w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+    rng = np.random.default_rng(42)
+    X = jnp.asarray(rng.normal(size=(32, 6)))
+    Y = jnp.asarray(np.eye(3)[np.arange(32) % 3])
+    res = slbfgs(bp, w0, X, Y,
+                 SLBFGSOptions(epochs=3, tol=1e-12, history=4, L=2,
+                               batch_size=8, step_size=0.05))
+    assert int(res.n_iters) == results[0][0]
+    lh_mp = np.asarray([float(v) for v in results[0][1].split(",")])
+    np.testing.assert_allclose(
+        np.asarray(res.loss_history[:3]), lh_mp, rtol=1e-9
+    )
