@@ -167,25 +167,30 @@ def _cached_chunk_fns(problem, opts, chunk: int):
 
 def gd_chunked(
     problem: Problem,
-    x0: jax.Array,
+    x0,
     aux: Any = (),
     opts: GDOptions | None = None,
     chunk: int = 10,
     callback=None,
+    resume_state: _State | None = None,
 ) -> tuple[SolveResult, jax.Array]:
     """Run GD in jitted ``chunk``-iteration pieces with *measured*
     cumulative wall time per chunk (same protocol as ``lbfgs_chunked``) —
     the honest counterpart of the reference's per-iteration cudaEvent
-    timing (reference: src/cuda/gd.cuh:63-98)."""
+    timing (reference: src/cuda/gd.cuh:63-98). ``resume_state`` continues
+    from a checkpointed chunk state (momentum velocity included); ``x0``
+    may be None then. Pre-kill iterations keep NaN time entries."""
     opts = opts or GDOptions()
+    if resume_state is None and x0 is None:
+        raise ValueError("x0 is required unless resume_state is given")
     init, run_chunk = _cached_chunk_fns(problem, opts, chunk)
-    state = init(x0, aux)
+    state = resume_state if resume_state is not None else init(x0, aux)
     jax.block_until_ready(state.x)
-    warm = init(x0 * (1.0 + 1e-6) + 1e-7, aux)
+    warm = state._replace(x=state.x * (1.0 + 1e-6) + 1e-7)
     _ = float(run_chunk(warm, aux).f)  # compile + defeat dispatch cache
 
     time_ms = jnp.full((opts.max_iters,), jnp.nan)
-    elapsed, k_prev = 0.0, 0
+    elapsed, k_prev = 0.0, int(state.k)
     while True:
         t0 = time.perf_counter()
         state = run_chunk(state, aux)

@@ -205,20 +205,25 @@ def sgd_chunked(
     opts: SGDOptions | None = None,
     chunk: int = 10,
     callback=None,
+    resume_state: _State | None = None,
 ) -> tuple[SolveResult, jax.Array]:
     """Run SGD in jitted ``chunk``-epoch pieces with *measured* cumulative
     per-epoch wall time (same protocol as ``slbfgs_chunked``) — the honest
     counterpart of the reference's per-epoch cudaEvent/chrono timing
-    (reference: src/cuda/sgd.cuh:79-86, src/minimizer/s_gd.hpp:95-131)."""
+    (reference: src/cuda/sgd.cuh:79-86, src/minimizer/s_gd.hpp:95-131).
+    ``resume_state`` continues from a checkpointed chunk state (momentum,
+    decayed lr, stopping state included); ``w0`` may be None then."""
     opts = opts or SGDOptions()
+    if resume_state is None and w0 is None:
+        raise ValueError("w0 is required unless resume_state is given")
     init, run_chunk = _cached_chunk_fns(problem, opts, int(x.shape[0]), chunk)
-    state = init(w0, x, y)
+    state = resume_state if resume_state is not None else init(w0, x, y)
     jax.block_until_ready(state.w)
     warm = state._replace(w=state.w * (1.0 + 1e-6) + 1e-7)
     _ = float(run_chunk(warm, x, y).prev_loss)
 
     time_ms = jnp.full((opts.epochs,), jnp.nan)
-    elapsed, e_prev = 0.0, 0
+    elapsed, e_prev = 0.0, int(state.epoch)
     while True:
         t0 = time.perf_counter()
         state = run_chunk(state, x, y)

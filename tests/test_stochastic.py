@@ -200,3 +200,43 @@ def test_slbfgs_chunked_checkpoint_resume(tmp_path):
     tms = np.asarray(tms)
     assert np.isnan(tms[:3]).all()      # pre-kill epochs: not measured here
     assert np.isfinite(tms[3:9]).all()
+
+
+def test_gd_sgd_chunked_resume():
+    """Every chunked driver supports kill-and-resume: GD (momentum
+    velocity) and SGD (momentum + decayed lr + stopping state) continue
+    from a mid-run state to the identical final result."""
+    import numpy as np
+    from lbfgs_ffnn_tpu.solvers import GDOptions, SGDOptions
+    from lbfgs_ffnn_tpu.solvers.gd import gd_chunked
+    from lbfgs_ffnn_tpu.solvers.sgd import sgd_chunked
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_problem
+
+    prob_b, w0, x, y = _mlp_setup()
+    # GD over the full-batch problem
+    spec = mlp_spec([16, 12, 4], ["tanh", "linear"])
+    prob = mlp_problem(spec)
+    gopts = GDOptions(max_iters=12, tol=1e-14, step_size=0.05, momentum=0.9,
+                      use_line_search=False)
+    full, _ = gd_chunked(prob, w0, aux=(x, y), opts=gopts, chunk=4)
+    captured = {}
+    gd_chunked(prob, w0, aux=(x, y), opts=gopts, chunk=4,
+               callback=lambda s, e: captured.setdefault("s", s)
+               if int(s.k) == 4 else None)
+    resumed, tms = gd_chunked(prob, None, aux=(x, y), opts=gopts, chunk=4,
+                              resume_state=captured["s"])
+    np.testing.assert_array_equal(np.asarray(resumed.x), np.asarray(full.x))
+    assert np.isnan(np.asarray(tms)[:4]).all()
+
+    # SGD sequential with momentum + decay
+    sopts = SGDOptions(epochs=9, batch_size=32, step_size=0.05, momentum=0.9,
+                       sampling="sequential", lr_decay=0.8, lr_decay_step=3,
+                       tol=0.0)
+    full_s, _ = sgd_chunked(prob_b, w0, x, y, sopts, chunk=3)
+    cap = {}
+    sgd_chunked(prob_b, w0, x, y, sopts, chunk=3,
+                callback=lambda s, e: cap.setdefault("s", s)
+                if int(s.epoch) == 3 else None)
+    resumed_s, _ = sgd_chunked(prob_b, None, x, y, sopts, chunk=3,
+                               resume_state=cap["s"])
+    np.testing.assert_array_equal(np.asarray(resumed_s.x), np.asarray(full_s.x))
