@@ -74,9 +74,16 @@ def ring_push(hist: RingState, s: jax.Array, y: jax.Array, rho: jax.Array, accep
     m, n_pad = hist.S.shape
     s = _pad_to(s, n_pad)
     y = _pad_to(y, n_pad)
-    S = jnp.where(accept, hist.S.at[hist.head].set(s), hist.S)
-    Y = jnp.where(accept, hist.Y.at[hist.head].set(y), hist.Y)
-    rho_arr = jnp.where(accept, hist.rho.at[hist.head].set(rho), hist.rho)
+    # Write the head row unconditionally, selecting between the new pair
+    # and the existing row — NOT `where(accept, S.at[...].set(...), S)`,
+    # whose select touches the whole (m, n_pad) buffer (82 MB at m=100,
+    # n=102k: ~100 us/iteration of pure copy). This form reads+writes one
+    # row and keeps the dynamic-update in place.
+    S = hist.S.at[hist.head].set(jnp.where(accept, s, hist.S[hist.head]))
+    Y = hist.Y.at[hist.head].set(jnp.where(accept, y, hist.Y[hist.head]))
+    rho_arr = hist.rho.at[hist.head].set(
+        jnp.where(accept, rho, hist.rho[hist.head])
+    )
     head = jnp.where(accept, (hist.head + 1) % m, hist.head)
     count = jnp.where(accept, jnp.minimum(hist.count + 1, m), hist.count)
     return RingState(S=S, Y=Y, rho=rho_arr, head=head, count=count)
