@@ -33,24 +33,34 @@ def _round_up(x: int, k: int = LANE_ALIGN) -> int:
 class RingState(NamedTuple):
     """Fixed-shape curvature history.
 
-    S, Y are stored TPU-tile padded ``(m, n_pad)`` with ``n_pad`` the
-    parameter count rounded up to the float32 tile (8x128); pushes pad,
-    reads slice. Zero padding is inert in every dot/axpy of the recursion,
-    and the Pallas kernel gets aligned rows with no per-call reshuffle.
+    S, Y are stored TPU-tile shaped ``(m, rows, 128)`` with
+    ``rows = n_pad / 128`` and ``n_pad`` the parameter count rounded up to
+    the float32 tile (8x128); pushes pad+reshape their row, reads slice.
+    Zero padding is inert in every dot/axpy of the recursion. The 3-D
+    layout is exactly what the Pallas kernel consumes, so the history
+    flows from the solver's loop carry into the kernel with NO call-site
+    reshape — a reshape there forces XLA to materialize a fresh copy of
+    the whole (m x n) stack every iteration (measured 493 -> 223 us per
+    direction computation at m=100, n=102k).
     """
 
-    S: jax.Array
-    Y: jax.Array
+    S: jax.Array      # (m, rows, 128)
+    Y: jax.Array      # (m, rows, 128)
     rho: jax.Array
     head: jax.Array   # int32: next physical slot to write
     count: jax.Array  # int32: number of valid pairs (<= m)
 
 
+def ring_n_pad(hist: "RingState") -> int:
+    """Padded parameter length of a ring (rows * 128)."""
+    return hist.S.shape[1] * hist.S.shape[2]
+
+
 def empty_history_state(m: int, n: int, dtype=jnp.float32) -> RingState:
     n_pad = _round_up(n)
     return RingState(
-        S=jnp.zeros((m, n_pad), dtype=dtype),
-        Y=jnp.zeros((m, n_pad), dtype=dtype),
+        S=jnp.zeros((m, n_pad // 128, 128), dtype=dtype),
+        Y=jnp.zeros((m, n_pad // 128, 128), dtype=dtype),
         rho=jnp.zeros((m,), dtype=dtype),
         head=jnp.int32(0),
         count=jnp.int32(0),
@@ -64,6 +74,13 @@ def _pad_to(v: jax.Array, n_pad: int) -> jax.Array:
     return jnp.zeros((n_pad,), dtype=v.dtype).at[:n].set(v)
 
 
+def _pad_row(v: jax.Array, n_pad: int) -> jax.Array:
+    """Pad a flat vector to n_pad and shape it as a (rows, 128) tile row
+    (reshape of a freshly built array — free, unlike reshaping a carried
+    buffer at a kernel boundary)."""
+    return _pad_to(v, n_pad).reshape(n_pad // 128, 128)
+
+
 def ring_push(hist: RingState, s: jax.Array, y: jax.Array, rho: jax.Array, accept) -> RingState:
     """Conditionally push a curvature pair (overwrite-oldest ring semantics).
 
@@ -71,9 +88,10 @@ def ring_push(hist: RingState, s: jax.Array, y: jax.Array, rho: jax.Array, accep
     the reference's curvature gate ``y^T s > 1e-10`` guarding push_back
     (reference: src/minimizer/lbfgs.hpp:77-82, src/cuda/lbfgs.cuh:163-168).
     """
-    m, n_pad = hist.S.shape
-    s = _pad_to(s, n_pad)
-    y = _pad_to(y, n_pad)
+    m = hist.S.shape[0]
+    n_pad = ring_n_pad(hist)
+    s = _pad_row(s, n_pad)
+    y = _pad_row(y, n_pad)
     # Write the head row unconditionally, selecting between the new pair
     # and the existing row — NOT `where(accept, S.at[...].set(...), S)`,
     # whose select touches the whole (m, n_pad) buffer (82 MB at m=100,
@@ -103,7 +121,9 @@ def _two_loop_core(
     """Two-loop recursion with a pluggable inner-product.
 
     ``dot(a, b)`` is ``jnp.vdot`` on one device, or a psum-reduced partial
-    dot when the parameter axis is sharded over a mesh.
+    dot when the parameter axis is sharded over a mesh. ``v`` and the
+    S/Y rows may be any (matching) shape — vdot flattens; axpys are
+    elementwise.
     """
     m = S.shape[0]
 
@@ -168,14 +188,14 @@ def two_loop(
     stochastic variant's guards apply (gamma -> 1 when y^T y ~ 0, clamp to
     [1e-6, 1e6]; reference behavior of src/minimizer/s_lbfgs.hpp:119-127).
     """
-    m, n_pad = hist.S.shape
+    n_pad = ring_n_pad(hist)
     S, Y, rho, head, count = hist
     n = v.shape[0]
-    v = _pad_to(v, n_pad)
+    v3 = _pad_row(v, n_pad)
     z = _two_loop_core(
-        v, S, Y, rho, head, count, jnp.vdot, clamp_gamma, gamma_min, gamma_max
+        v3, S, Y, rho, head, count, jnp.vdot, clamp_gamma, gamma_min, gamma_max
     )
-    return z[:n]
+    return z.reshape(n_pad)[:n]
 
 
 def two_loop_sharded(
@@ -197,9 +217,10 @@ def two_loop_sharded(
     exceeds one chip's HBM — the model-parallel complement of the
     batch-sharded gradient evaluation.
 
-    ``v`` must be padded length (``hist.S.shape[1]``) and, like S/Y, sharded
-    on its (only) axis; rho/head/count replicated. Returns the sharded
-    result vector.
+    ``v`` must be padded length (``rows * 128``) and sharded on its (only)
+    axis; S/Y are sharded on their tile-row axis (``P(None, axis, None)``),
+    rho/head/count replicated. The row count must divide the mesh axis
+    size. Returns the sharded result vector.
     """
     from jax.sharding import PartitionSpec as P
 
@@ -209,12 +230,17 @@ def two_loop_sharded(
         def dot(a, b):
             return jax.lax.psum(jnp.vdot(a, b), axis_name)
 
-        return _two_loop_core(
-            v, S, Y, rho, head, count, dot, clamp_gamma, gamma_min, gamma_max
+        # Local shard of v viewed as its local tile rows (contiguous
+        # shards keep the 1-D <-> (rows, 128) mapping shard-local).
+        z = _two_loop_core(
+            v.reshape(-1, 128), S, Y, rho, head, count, dot,
+            clamp_gamma, gamma_min, gamma_max,
         )
+        return z.reshape(-1)
 
     return jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(axis_name), P(None, axis_name), P(None, axis_name), P(), P(), P()),
+        in_specs=(P(axis_name), P(None, axis_name, None),
+                  P(None, axis_name, None), P(), P(), P()),
         out_specs=P(axis_name),
     )(v, S, Y, rho, head, count)

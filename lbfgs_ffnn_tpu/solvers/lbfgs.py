@@ -351,7 +351,7 @@ def _build_param_sharded(problem: Problem, opts: LBFGSOptions, mesh, axis: str):
         )
     ndev = mesh.shape[axis]
     vec_s = NamedSharding(mesh, P(axis))
-    row_s = NamedSharding(mesh, P(None, axis))
+    row_s = NamedSharding(mesh, P(None, axis, None))
 
     def direction(g, hist):
         return -two_loop_sharded(g, hist, mesh, axis)

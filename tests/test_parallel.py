@@ -212,7 +212,7 @@ def test_two_loop_param_sharded_matches_single_device():
     r_single = two_loop(v, hist)
 
     mesh = make_mesh(axis_name="param")
-    col = NamedSharding(mesh, P(None, "param"))
+    col = NamedSharding(mesh, P(None, "param", None))
     vecsh = NamedSharding(mesh, P("param"))
     hist_sh = hist._replace(
         S=jax.device_put(hist.S, col), Y=jax.device_put(hist.Y, col),

@@ -77,7 +77,7 @@ def test_ring_push_overwrites_oldest():
         hist = ring_push(hist, v, v, jnp.vdot(v, v), jnp.array(True))
     assert int(hist.count) == m
     # slots now hold vecs[2] (head wrapped) and vecs[1]
-    vals = sorted(float(hist.S[i, 0]) for i in range(m))
+    vals = sorted(float(hist.S[i, 0, 0]) for i in range(m))
     assert vals == [2.0, 3.0]
 
 
