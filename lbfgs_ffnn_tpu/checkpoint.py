@@ -81,7 +81,12 @@ def restore_checkpoint(path: str | Path, template: Any, *, allow_partial: bool =
 
 
 def filled_kinds(template: Any, paths: list[str]) -> list[tuple[str, bool]]:
-    """Classify each filled path as scalar-counter-like (ndim 0) or not."""
+    """Classify each filled path as benign-to-fill or not.
+
+    Benign: plain scalars (counters) and EMPTY containers (e.g. the L-BFGS
+    ``prefix=()`` placeholder when the problem has no line prefix — there
+    is nothing in it to go stale). Anything holding array data is unsafe
+    to template-fill."""
     out = []
     for p in paths:
         node = template
@@ -98,8 +103,16 @@ def filled_kinds(template: Any, paths: list[str]) -> list[tuple[str, bool]]:
             else:
                 ok = False
                 break
-        is_scalar = ok and (np.ndim(node) == 0)
-        out.append((p, is_scalar))
+        if not ok:
+            benign = False
+        elif isinstance(node, (list, tuple, dict)):
+            benign = len(node) == 0
+        else:
+            try:
+                benign = np.ndim(node) == 0
+            except Exception:  # ragged/opaque object: play safe
+                benign = False
+        out.append((p, benign))
     return out
 
 

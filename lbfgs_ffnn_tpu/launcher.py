@@ -155,6 +155,11 @@ class Launcher:
         self._y = jnp.asarray(dataset.train_y, dtype=self.dtype)
         self._tx = jnp.asarray(dataset.test_x, dtype=self.dtype)
         self._ty = jnp.asarray(dataset.test_y, dtype=self.dtype)
+        # The accuracy metric closes over the TEST split (captured as a jit
+        # constant); unlike the spec-only problem entries it is
+        # data-dependent and must not survive a dataset swap.
+        if hasattr(self, "_prob_cache"):
+            self._prob_cache.pop("acc", None)
         return self
 
     # -- training -----------------------------------------------------------

@@ -219,8 +219,8 @@ def two_loop_sharded(
 
     ``v`` must be padded length (``rows * 128``) and sharded on its (only)
     axis; S/Y are sharded on their tile-row axis (``P(None, axis, None)``),
-    rho/head/count replicated. The row count must divide the mesh axis
-    size. Returns the sharded result vector.
+    rho/head/count replicated. The tile-row count must be divisible by the
+    mesh axis size. Returns the sharded result vector.
     """
     from jax.sharding import PartitionSpec as P
 

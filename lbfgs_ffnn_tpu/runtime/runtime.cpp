@@ -218,6 +218,9 @@ struct Streamer {
     std::vector<float> xb, yb;
     int64_t count = 0;    // samples in this batch (< batch for a trailing one)
     int64_t epoch = 0;    // epoch the batch came from
+    bool busy = false;    // a consumer is mid-copy on this slot (set/cleared
+                          // under mu); the producer must not reuse it even
+                          // after `filled` drops (out-of-order releases)
   };
   std::vector<Slot> ring;
   // producer writes head, consumers read tail. `filled` gates the producer
@@ -259,7 +262,13 @@ struct Streamer {
         const int64_t count = std::min(batch, n - off);
         if (count < batch && drop_last) break;
         std::unique_lock<std::mutex> lk(mu);
-        cv_produce.wait(lk, [&] { return stop || filled < ring.size(); });
+        // Wait for a free head slot. `filled < size` alone is not enough:
+        // with concurrent consumers releasing out of order, `filled` can
+        // drop while the OLDEST claimed slot (== head when the ring was
+        // full) is still being copied — `busy` pins it until the copy ends.
+        cv_produce.wait(lk, [&] {
+          return stop || (filled < ring.size() && !ring[head].busy);
+        });
         if (stop) return;
         Slot &s = ring[head];
         lk.unlock();
@@ -347,10 +356,12 @@ int streamer_next(int64_t handle, float *xout, float *yout, int64_t *count,
   std::unique_lock<std::mutex> lk(s->mu);
   s->cv_consume.wait(lk, [&] { return s->stop || s->ready > 0; });
   if (s->stop) return kErrArgs;
-  // Claim the slot under the mutex (advance tail, --ready) BEFORE the
-  // unlocked copy: a concurrent streamer_next claims the next slot, never
-  // this one, and the producer won't reuse it until --filled below.
+  // Claim the slot under the mutex (advance tail, --ready, mark busy)
+  // BEFORE the unlocked copy: a concurrent streamer_next claims the next
+  // slot, never this one, and the producer skips busy slots even after
+  // out-of-order releases drop `filled` below capacity.
   Streamer::Slot &slot = s->ring[s->tail];
+  slot.busy = true;
   s->tail = (s->tail + 1) % s->ring.size();
   --s->ready;
   lk.unlock();
@@ -359,6 +370,7 @@ int streamer_next(int64_t handle, float *xout, float *yout, int64_t *count,
   *count = slot.count;
   *epoch = slot.epoch;
   lk.lock();
+  slot.busy = false;
   --s->filled;
   lk.unlock();
   s->cv_produce.notify_one();

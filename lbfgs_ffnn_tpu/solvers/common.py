@@ -1,13 +1,57 @@
-"""Shared solver utilities: jit caching and history recording."""
+"""Shared solver utilities: jit caching, history recording, and the
+measured-chunk driver protocol."""
 
 from __future__ import annotations
 
 import functools
+import time
 
 import jax
 import jax.numpy as jnp
 
 from lbfgs_ffnn_tpu.types import SolveResult
+
+
+def drive_chunks(run_chunk, state, args, total, counter, done, sync,
+                 callback=None):
+    """Shared chunked-execution protocol for every solver's ``*_chunked``
+    driver: warm-up compile on a perturbed state (the axon runtime serves
+    identical re-dispatches from cache and block_until_ready can return
+    early through the tunnel — CLAUDE.md timing protocol), then run chunks
+    with a host sync per chunk, accumulating *measured* cumulative wall
+    time into ``time_ms[counter_prev:counter_now]``.
+
+    ``run_chunk(state, *args) -> state``; ``counter(state) -> int`` (the
+    iteration/epoch counter, forces the host sync); ``done(state) -> bool``
+    (solver-specific early-stop predicate, evaluated after counter);
+    ``sync(state) -> scalar jax value`` (pulled as float for the warm-up).
+    Pre-existing iterations (resume) keep NaN time entries.
+    """
+    leaves = jax.tree_util.tree_leaves(state)
+    jax.block_until_ready(leaves)
+    warm = jax.tree_util.tree_map(
+        lambda a: a * (1.0 + 1e-6) + 1e-7
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        state,
+    )
+    _ = float(sync(run_chunk(warm, *args)))
+
+    time_ms = jnp.full((total,), jnp.nan)
+    elapsed = 0.0
+    k_prev = counter(state)
+    while True:
+        t0 = time.perf_counter()
+        state = run_chunk(state, *args)
+        k_now = counter(state)  # host sync per chunk (that's the point)
+        elapsed += time.perf_counter() - t0
+        time_ms = time_ms.at[k_prev:k_now].set(elapsed * 1e3)
+        if callback is not None:
+            callback(state, elapsed)
+        if k_now == k_prev or k_now >= total or done(state):
+            break
+        k_prev = k_now
+    return state, time_ms
 
 
 @functools.lru_cache(maxsize=256)

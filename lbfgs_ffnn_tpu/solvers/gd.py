@@ -21,8 +21,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from lbfgs_ffnn_tpu.solvers.common import (
-    cached_jit_solve, finalize, init_history, lean_gate, record,
-    wolfe_with_counters,
+    cached_jit_solve, drive_chunks, finalize, init_history, lean_gate,
+    record, wolfe_with_counters,
 )
 from lbfgs_ffnn_tpu.types import Problem, SolveResult
 
@@ -185,21 +185,11 @@ def gd_chunked(
         raise ValueError("x0 is required unless resume_state is given")
     init, run_chunk = _cached_chunk_fns(problem, opts, chunk)
     state = resume_state if resume_state is not None else init(x0, aux)
-    jax.block_until_ready(state.x)
-    warm = state._replace(x=state.x * (1.0 + 1e-6) + 1e-7)
-    _ = float(run_chunk(warm, aux).f)  # compile + defeat dispatch cache
-
-    time_ms = jnp.full((opts.max_iters,), jnp.nan)
-    elapsed, k_prev = 0.0, int(state.k)
-    while True:
-        t0 = time.perf_counter()
-        state = run_chunk(state, aux)
-        k_now = int(state.k)
-        elapsed += time.perf_counter() - t0
-        time_ms = time_ms.at[k_prev:k_now].set(elapsed * 1e3)
-        if callback is not None:
-            callback(state, elapsed)
-        if k_now == k_prev or k_now >= opts.max_iters or float(state.gnorm) < opts.tol:
-            break
-        k_prev = k_now
+    state, time_ms = drive_chunks(
+        run_chunk, state, (aux,), opts.max_iters,
+        counter=lambda s: int(s.k),
+        done=lambda s: float(s.gnorm) < opts.tol,
+        sync=lambda s: s.f,
+        callback=callback,
+    )
     return _finalize_state(state, opts), time_ms

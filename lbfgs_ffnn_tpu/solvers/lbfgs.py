@@ -40,7 +40,9 @@ from lbfgs_ffnn_tpu.ops.linesearch import (
     wolfe_line_search,
 )
 from lbfgs_ffnn_tpu.ops.two_loop import RingState, empty_history_state, ring_push, ring_reset, two_loop
-from lbfgs_ffnn_tpu.solvers.common import cached_jit_solve, finalize, init_history, record
+from lbfgs_ffnn_tpu.solvers.common import (
+    cached_jit_solve, drive_chunks, finalize, init_history, record,
+)
 from lbfgs_ffnn_tpu.types import Problem, SolveResult
 
 
@@ -359,16 +361,22 @@ def _build_param_sharded(problem: Problem, opts: LBFGSOptions, mesh, axis: str):
     def solve(x0, aux):
         n = x0.shape[0]
         n_pad = _round_up(n)
-        if n_pad % ndev:
+        # The ring is sharded over its TILE-ROW axis (rows = n_pad/128), so
+        # the row count — not the raw padded length — must split evenly.
+        if (n_pad // 128) % ndev:
             raise ValueError(
-                f"padded parameter count {n_pad} must divide the mesh "
-                f"axis size {ndev}"
+                f"tile-row count {n_pad // 128} (= padded params {n_pad} / "
+                f"128) must be divisible by the mesh axis size {ndev}"
             )
 
         # The padded objective: evaluation sees the real n parameters;
         # gradients come back zero-padded so all solver axpys/dots operate
         # on even (n_pad,) shards. Padding lanes stay exactly zero through
         # every update (their gradient, direction, and step are zero).
+        # The line restriction (line_fun / carried prefix) is wrapped
+        # through the same slice-and-pad adapters, so the lean-trial
+        # machinery survives the mesh mode instead of silently degrading
+        # to full-objective trials.
         def fun_pad(w, aux):
             return problem.fun(w[:n], aux)
 
@@ -379,7 +387,38 @@ def _build_param_sharded(problem: Problem, opts: LBFGSOptions, mesh, axis: str):
             f, g = problem.value_and_grad(w[:n], aux)
             return f, _pad_to(g, n_pad)
 
-        pp = Problem(fun=fun_pad, grad=grad_pad, value_and_grad=vag_pad)
+        line_fun_pad = None
+        if problem.line_fun is not None:
+            def line_fun_pad(w, p, aux, _lf=problem.line_fun):
+                return _lf(w[:n], p[:n], aux)
+
+        lp_pad = None
+        if problem.line_prefix is not None:
+            from lbfgs_ffnn_tpu.types import LinePrefix
+
+            lp = problem.line_prefix
+            if lp.vag_restrict is not None:
+                def vag_restrict_pad(P, B, w, p, aux, _v=lp.vag_restrict):
+                    inner = _v(P, B, w[:n], p[:n], aux)
+
+                    def call(alpha):
+                        f, g = inner(alpha)
+                        return f, _pad_to(g, n_pad)
+
+                    return call
+            else:
+                vag_restrict_pad = None
+            lp_pad = LinePrefix(
+                init=lambda w, aux, _i=lp.init: _i(w[:n], aux),
+                direction=lambda p, aux, _d=lp.direction: _d(p[:n], aux),
+                restrict=lambda P, B, w, p, aux, _r=lp.restrict: _r(
+                    P, B, w[:n], p[:n], aux
+                ),
+                vag_restrict=vag_restrict_pad,
+            )
+
+        pp = Problem(fun=fun_pad, grad=grad_pad, value_and_grad=vag_pad,
+                     line_fun=line_fun_pad, line_prefix=lp_pad)
         body = _make_body(pp, opts, direction=direction)
 
         def constrain(s: _State) -> _State:
@@ -492,31 +531,11 @@ def lbfgs_chunked(
     state = resume_state if resume_state is not None else init(x0, aux)
     if resume_state is not None and _use_prefix(problem, opts):
         state = state._replace(prefix=problem.line_prefix.init(state.x, aux))
-    jax.block_until_ready(state.x)
-    # Warm-up compile on a perturbed copy: remote-TPU runtimes can serve a
-    # repeat of an *identical* dispatch from cache, which would zero out the
-    # first measured chunk. On resume (x0 may be None) perturb the restored
-    # state instead. Sync by pulling a scalar — block_until_ready can return
-    # early through the axon tunnel (CLAUDE.md timing protocol).
-    if resume_state is not None:
-        warm = state._replace(x=state.x * (1.0 + 1e-6) + 1e-7)
-    else:
-        warm = init(x0 * (1.0 + 1e-6) + 1e-7, aux)
-    _ = float(run_chunk(warm, aux).f)
-
-    time_ms = jnp.full((opts.max_iters,), jnp.nan)
-    elapsed = 0.0
-    k_prev = int(state.k)  # on resume: pre-kill iterations stay NaN
-    t_total0 = time.perf_counter()
-    while True:
-        t0 = time.perf_counter()
-        state = run_chunk(state, aux)
-        k_now = int(state.k)  # host sync per chunk (that's the point)
-        elapsed += time.perf_counter() - t0
-        time_ms = time_ms.at[k_prev:k_now].set(elapsed * 1e3)
-        if callback is not None:
-            callback(state, elapsed)
-        if k_now == k_prev or k_now >= opts.max_iters or float(state.gnorm) < opts.tol:
-            break
-        k_prev = k_now
+    state, time_ms = drive_chunks(
+        run_chunk, state, (aux,), opts.max_iters,
+        counter=lambda s: int(s.k),
+        done=lambda s: float(s.gnorm) < opts.tol,
+        sync=lambda s: s.f,
+        callback=callback,
+    )
     return _finalize_state(state, opts), time_ms

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from lbfgs_ffnn_tpu.solvers.common import (
-    cached_jit_solve, finalize, init_history, init_metric_history, record,
+    cached_jit_solve, drive_chunks, finalize, init_history,
+    init_metric_history, record,
 )
 from lbfgs_ffnn_tpu.types import BatchProblem, SolveResult
 
@@ -218,23 +219,13 @@ def sgd_chunked(
         raise ValueError("w0 is required unless resume_state is given")
     init, run_chunk = _cached_chunk_fns(problem, opts, int(x.shape[0]), chunk)
     state = resume_state if resume_state is not None else init(w0, x, y)
-    jax.block_until_ready(state.w)
-    warm = state._replace(w=state.w * (1.0 + 1e-6) + 1e-7)
-    _ = float(run_chunk(warm, x, y).prev_loss)
-
-    time_ms = jnp.full((opts.epochs,), jnp.nan)
-    elapsed, e_prev = 0.0, int(state.epoch)
-    while True:
-        t0 = time.perf_counter()
-        state = run_chunk(state, x, y)
-        e_now = int(state.epoch)
-        elapsed += time.perf_counter() - t0
-        time_ms = time_ms.at[e_prev:e_now].set(elapsed * 1e3)
-        if callback is not None:
-            callback(state, elapsed)
-        if e_now == e_prev or e_now >= opts.epochs or bool(state.stop):
-            break
-        e_prev = e_now
+    state, time_ms = drive_chunks(
+        run_chunk, state, (x, y), opts.epochs,
+        counter=lambda s: int(s.epoch),
+        done=lambda s: bool(s.stop),
+        sync=lambda s: s.prev_loss,
+        callback=callback,
+    )
     return _finalize_state(state, opts), time_ms
 
 

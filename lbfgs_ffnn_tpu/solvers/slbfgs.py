@@ -51,7 +51,7 @@ from jax.sharding import PartitionSpec as P
 
 from lbfgs_ffnn_tpu.ops.two_loop import RingState, empty_history_state, ring_push, two_loop
 from lbfgs_ffnn_tpu.solvers.common import (
-    finalize, init_history, init_metric_history, record,
+    drive_chunks, finalize, init_history, init_metric_history, record,
 )
 from lbfgs_ffnn_tpu.types import BatchProblem, SolveResult
 
@@ -594,26 +594,11 @@ def slbfgs_chunked(
     )
 
     state = resume_state if resume_state is not None else init(w0, x, y)
-    jax.block_until_ready(state.w)
-    # Warm-up compile on a perturbed copy; sync by pulling a scalar (the
-    # axon runtime can serve identical re-dispatches from cache and
-    # block_until_ready can return early through the tunnel — CLAUDE.md
-    # timing protocol).
-    warm = state._replace(w=state.w * (1.0 + 1e-6) + 1e-7)
-    _ = float(run_chunk(warm, x, y).gnorm)
-
-    time_ms = jnp.full((opts.epochs,), jnp.nan)
-    elapsed = 0.0
-    e_prev = int(state.epoch)  # on resume: pre-kill epochs stay NaN
-    while True:
-        t0 = time.perf_counter()
-        state = run_chunk(state, x, y)
-        e_now = int(state.epoch)  # host sync per chunk (that's the point)
-        elapsed += time.perf_counter() - t0
-        time_ms = time_ms.at[e_prev:e_now].set(elapsed * 1e3)
-        if callback is not None:
-            callback(state, elapsed)
-        if e_now == e_prev or e_now >= opts.epochs or bool(state.stop):
-            break
-        e_prev = e_now
+    state, time_ms = drive_chunks(
+        run_chunk, state, (x, y), opts.epochs,
+        counter=lambda s: int(s.epoch),
+        done=lambda s: bool(s.stop),
+        sync=lambda s: s.gnorm,
+        callback=callback,
+    )
     return _finalize_state(state, opts), time_ms
