@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from lbfgs_ffnn_tpu.ops.sampling import sample_without_replacement
 from lbfgs_ffnn_tpu.solvers.common import (
     cached_jit_solve, drive_chunks, finalize, init_history,
     init_metric_history, record,
@@ -43,6 +44,8 @@ class SGDOptions(NamedTuple):
     tol: float = 0.0  # >0 enables relative-improvement stopping (CUDA-ref)
     seed: int = 123
     record_full: bool = True  # per-epoch full-batch loss/gradnorm recording
+    sampler: str = "topk"     # "random" sampling's without-replacement
+                              # draw: "topk" | "sort" (see ops/sampling.py)
     metric_fn: object = None  # optional (w, x, y) -> scalar or (k,) vector
                               # of metrics, recorded per epoch
                               # (e.g. train accuracy; reference plot tooling
@@ -108,7 +111,7 @@ def _make_parts(problem: BatchProblem, opts: SGDOptions, N: int):
             def minibatch_random(carry, t):
                 w, v = carry
                 k = jax.random.fold_in(key, s.epoch * m + t)
-                idx = jax.random.permutation(k, N)[:b]
+                idx = sample_without_replacement(k, N, b, opts.sampler)
                 xb, yb = jnp.take(x, idx, axis=0), jnp.take(y, idx, axis=0)
                 g = problem.grad(w, xb, yb)
                 w, v = update(w, v, lr, g)

@@ -49,6 +49,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+from lbfgs_ffnn_tpu.ops.sampling import sample_without_replacement
 from lbfgs_ffnn_tpu.ops.two_loop import RingState, empty_history_state, ring_push, two_loop
 from lbfgs_ffnn_tpu.solvers.common import (
     drive_chunks, finalize, init_history, init_metric_history, record,
@@ -67,6 +68,10 @@ class SLBFGSOptions(NamedTuple):
     step_size: float = 0.01
     hvp_mode: str = "exact"     # "exact" (jvp) | "fd" (reference parity)
     fd_eps: float = 1e-4
+    sampler: str = "topk"       # without-replacement index sampler:
+                                # "topk" (uniform-keys top-k, ~3x cheaper)
+                                # | "sort" (full random argsort — the
+                                # round-1 stream; see ops/sampling.py)
     sampling: str = "local"     # mesh mode only: "local" (per-device
                                 # sampling from the local shard — cheapest,
                                 # batch composition differs from 1-device) |
@@ -140,18 +145,17 @@ class _Ops(NamedTuple):
     hvp: callable                  # (u, s_vec, key) -> (n,)
     # Optional batching hook: (per_step_keys (m,2-key)) -> (m, b) indices,
     # consumed by batch_grads_at(w_t, w_anchor, idx_row). Lets the epoch
-    # body draw ALL inner-step batches in one vmapped permutation instead
-    # of one sort per scan step — same keys, same index values, measured
-    # 3.58 -> 3.45 ms/epoch on the N=5000 headline (the batched argsort
-    # itself still costs ~0.4 ms; a with-replacement sampler would reach
-    # 3.05 but breaks the reference's without-replacement semantics).
+    # body draw ALL inner-step batches in one vmapped selection instead of
+    # one per scan step — same keys, same index values. Stacks with the
+    # opts.sampler choice ("topk" is ~3x cheaper per draw than the full
+    # argsort while remaining an exact uniform without-replacement draw).
     epoch_batch_idx: callable = None
     batch_grads_at: callable = None
 
 
 def _direct_ops(problem: BatchProblem, x, y, N: int, b: int, b_h: int, opts) -> _Ops:
     def sample(k, size):
-        return jax.random.permutation(k, N)[:size]
+        return sample_without_replacement(k, N, size, opts.sampler)
 
     def full_grad(w):
         return problem.grad(w, x, y)
@@ -172,8 +176,8 @@ def _direct_ops(problem: BatchProblem, x, y, N: int, b: int, b_h: int, opts) -> 
         return problem.hvp(u, s_vec, xh, yh)
 
     def epoch_batch_idx(keys):
-        # vmap of the SAME permutation the per-step path draws: identical
-        # values per key (deterministic fn of the key), one batched sort.
+        # vmap of the SAME draw the per-step path makes: identical values
+        # per key (deterministic fn of the key), one batched selection.
         return jax.vmap(lambda k: sample(k, b))(keys)
 
     def batch_grads_at(w_t, w_anchor, idx):
@@ -211,7 +215,7 @@ def _sharded_ops(
 
     def _local_take(xs, ys, key, size):
         k = jax.random.fold_in(key, lax.axis_index(axis))
-        idx = jax.random.permutation(k, n_local)[:size]
+        idx = sample_without_replacement(k, n_local, size, opts.sampler)
         return jnp.take(xs, idx, axis=0), jnp.take(ys, idx, axis=0)
 
     # --- layout-invariant ("global") sampling -----------------------------
@@ -222,7 +226,8 @@ def _sharded_ops(
     # reproduces the exact global batch mean regardless of device count.
 
     def _global_take(xs, ys, key, size):
-        idx = jax.random.permutation(key, N)[:size]  # replicated across devices
+        # replicated across devices: same key, same deterministic draw
+        idx = sample_without_replacement(key, N, size, opts.sampler)
         pos = idx - lax.axis_index(axis) * n_local
         valid = (pos >= 0) & (pos < n_local)
         posc = jnp.clip(pos, 0, n_local - 1)

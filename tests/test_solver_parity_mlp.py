@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from lbfgs_ffnn_tpu.ops.sampling import sample_without_replacement
 from lbfgs_ffnn_tpu.objectives.mlp import (
     mlp_batch_problem, mlp_init, mlp_problem, mlp_spec,
 )
@@ -263,6 +264,8 @@ def reference_slbfgs(w0, opts: SLBFGSOptions, epochs):
     b_h = opts.hvp_batch_size if opts.hvp_batch_size > 0 else max(b // 2, 1)
     cap = opts.L + 1
 
+    sampler = opts.sampler
+
     def grad_at(w, idx):
         xb, yb = jnp.take(X, idx, axis=0), jnp.take(Y, idx, axis=0)
         return np.asarray(BP.grad(jnp.asarray(w), xb, yb))
@@ -285,7 +288,8 @@ def reference_slbfgs(w0, opts: SLBFGSOptions, epochs):
         wt = w_anchor.copy()
         for t in range(m_inner):
             k_t = jax.random.fold_in(k_epoch, t)
-            idx = jax.random.permutation(jax.random.fold_in(k_t, 0), N)[:b]
+            idx = np.asarray(sample_without_replacement(
+                jax.random.fold_in(k_t, 0), N, b, sampler))
             v = grad_at(wt, idx) - grad_at(w_anchor, idx) + mu
             d = np_two_loop_clamped(v, s_list, y_list, rho_list)
             wt = wt - opts.step_size * d
@@ -296,8 +300,8 @@ def reference_slbfgs(w0, opts: SLBFGSOptions, epochs):
                 u = np.mean(wr, axis=0)
                 if has_u:
                     s_vec = u - u_prev
-                    idx_h = jax.random.permutation(
-                        jax.random.fold_in(k_t, 1), N)[:b_h]
+                    idx_h = np.asarray(sample_without_replacement(
+                        jax.random.fold_in(k_t, 1), N, b_h, sampler))
                     yv = hvp_at(u, s_vec, idx_h)
                     ys = yv @ s_vec
                     if abs(ys) > opts.curvature_eps:
