@@ -270,7 +270,9 @@ def pallas_dispatch(n_pad: int, m: int, dtype) -> tuple[str, str]:
         return (
             "xla",
             f"padded row length {n_pad} > VMEM budget {_VMEM_ROW_LIMIT} "
-            "f32 elements (6 row buffers must fit in ~16 MB VMEM)",
+            "f32 elements (6 row buffers must fit in ~16 MB VMEM); the XLA "
+            "loop form runs at the HBM bound there (measured n=1M m=50: "
+            "loop 1.37 ms vs GEMM-form compact 1.53 ms)",
         )
     if m * n_pad <= _VMEM_RESIDENT_LIMIT:
         return "pallas-resident", ""

@@ -244,3 +244,99 @@ def two_loop_sharded(
                   P(None, axis_name, None), P(), P(), P()),
         out_specs=P(axis_name),
     )(v, S, Y, rho, head, count)
+
+
+def two_loop_compact(
+    v: jax.Array,
+    hist: RingState,
+    *,
+    clamp_gamma: bool = False,
+    gamma_min: float = 1e-6,
+    gamma_max: float = 1e6,
+) -> jax.Array:
+    """Compact (GEMM-form) two-loop recursion — same H_k @ v as
+    :func:`two_loop`, restructured for models too large for the Pallas
+    kernel's VMEM budget.
+
+    The loop form's 2*count sequential (dot, axpy) stages are latency-bound
+    once rows no longer fit on-chip. In exact arithmetic the recursion
+    collapses to dense linear algebra over the whole history (the classic
+    compact representation, cf. Byrd/Nocedal/Schnabel):
+
+        c_i = s_i . v                    (one (m, n) GEMV)
+        a_i = rho_i (c_i - sum_{j>i} M_ij a_j),  M_ij = s_i . y_j
+                                         (m-step scalar back-substitution)
+        q   = v - a @ Y                  (one GEMM)
+        z0  = gamma * q
+        d_i = y_i . z0                   (one GEMV)
+        b_i = rho_i (d_i + sum_{j<i} M_ji (a_j - b_j))
+        r   = z0 + (a - b) @ S           (one GEMM)
+
+    All O(n) work is four full-bandwidth reads of the history (plus one
+    more for M = S Y^T, computed fresh per call) with NO sequential
+    dependency on the n axis — the m-length recurrences touch scalars only.
+    Float rounding differs from the loop form in the last ulps (different
+    reduction order); the logical trajectory is the same.
+    """
+    n_pad = ring_n_pad(hist)
+    S, Y, rho, head, count = hist
+    m = S.shape[0]
+    n = v.shape[0]
+    v3 = _pad_row(v, n_pad)
+
+    # Logical (oldest -> newest) gather of the ring: physical slot of
+    # logical index l is (head - count + l) % m. All gathered objects are
+    # O(m) or O(m^2) — cheap.
+    li = jnp.arange(m)
+    phys = (head - count + li) % m
+    valid = (li < count)
+
+    S2 = S.reshape(m, n_pad)
+    Y2 = Y.reshape(m, n_pad)
+    Sl = S2[phys]                      # (m, n_pad) logical order
+    Yl = Y2[phys]
+    rhol = jnp.where(valid, rho[phys], 0.0)
+
+    c = Sl @ v3.reshape(n_pad)         # s_l . v
+    M = Sl @ Yl.T                      # M[l, j] = s_l . y_j (logical)
+
+    # Backward: l = count-1 .. 0, a_l = rho_l (c_l - sum_{j>l} M[l, j] a_j).
+    def bwd(t, a):
+        l = m - 1 - t
+        mask_newer = (li > l) & valid
+        acc = jnp.sum(jnp.where(mask_newer, M[l] * a, 0.0))
+        a_l = jnp.where(valid[l], rhol[l] * (c[l] - acc), 0.0)
+        return a.at[l].set(a_l)
+
+    a = lax.fori_loop(0, m, bwd, jnp.zeros((m,), dtype=v.dtype))
+
+    q = v3.reshape(n_pad) - a @ Yl
+
+    # gamma from the newest pair (same guards as the loop form).
+    last = jnp.maximum(count - 1, 0)
+    ys = M[last, last]                 # s_newest . y_newest
+    yy = jnp.sum(Yl[last] * Yl[last])
+    if clamp_gamma:
+        gamma = jnp.where(jnp.abs(yy) < 1e-12, jnp.ones_like(ys),
+                          ys / jnp.where(yy == 0, 1.0, yy))
+        gamma = jnp.clip(gamma, gamma_min, gamma_max)
+    else:
+        gamma = jnp.where(yy > 0, ys / jnp.where(yy == 0, 1.0, yy),
+                          jnp.ones_like(ys))
+    gamma = jnp.where(count > 0, gamma, jnp.ones_like(gamma))
+    z0 = gamma * q
+
+    d = Yl @ z0                        # y_l . z0
+
+    # Forward: l = 0 .. count-1, b_l = rho_l (d_l + sum_{j<l} M[j, l] (a_j - b_j))
+    # (M[j, l] = s_j . y_l = y_l . s_j).
+    def fwd(l, b):
+        mask_older = (li < l) & valid
+        acc = jnp.sum(jnp.where(mask_older, M[:, l] * (a - b), 0.0))
+        b_l = jnp.where(valid[l], rhol[l] * (d[l] + acc), 0.0)
+        return b.at[l].set(b_l)
+
+    b = lax.fori_loop(0, m, fwd, jnp.zeros((m,), dtype=v.dtype))
+
+    r = z0 + (a - b) @ Sl
+    return r[:n]

@@ -75,7 +75,11 @@ class LBFGSOptions(NamedTuple):
                                         # pairs (s_lbfgs.hpp:246-250). Costs
                                         # one extra gradient-shaped eval per
                                         # iteration (counted in n_gevals).
-    two_loop_impl: str = "xla"  # "xla" | "pallas"
+    two_loop_impl: str = "xla"  # "xla" (loop form) | "pallas" (fused
+                                # kernel; warns + falls back to the loop
+                                # form above its VMEM budget, which runs at
+                                # the HBM bound there) | "compact" (GEMM
+                                # form — see ops.two_loop.two_loop_compact)
     ls_spec_k: int = 4  # armijo_batched: candidates per batched forward
     prefix_vag: bool = True  # use LinePrefix.vag_restrict for the accepted
                              # point's value_and_grad (skips recomputing the
@@ -113,6 +117,10 @@ def _direction(g, hist, opts: LBFGSOptions):
         from lbfgs_ffnn_tpu.ops.pallas_two_loop import two_loop_pallas
 
         return -two_loop_pallas(g, hist)
+    if opts.two_loop_impl == "compact":
+        from lbfgs_ffnn_tpu.ops.two_loop import two_loop_compact
+
+        return -two_loop_compact(g, hist)
     return -two_loop(g, hist)
 
 

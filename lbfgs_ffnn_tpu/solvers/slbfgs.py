@@ -85,7 +85,7 @@ class SLBFGSOptions(NamedTuple):
     record_full: bool = True    # per-epoch full loss + gradient (as reference)
     curvature_eps: float = 1e-10
     curvature_rel_eps: float = 0.0  # >0: |y^T s| > rel_eps*||y||*||s|| gate
-    two_loop_impl: str = "xla"  # "xla" | "pallas"
+    two_loop_impl: str = "xla"  # "xla" | "pallas" | "compact"
     metric_fn: object = None    # optional (w, x, y) -> scalar per-epoch metric
 
 
@@ -334,6 +334,11 @@ def _make_parts(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: 
 
         def direction(v, hist):
             return two_loop_pallas(v, hist, clamp_gamma=True)
+    elif opts.two_loop_impl == "compact":
+        from lbfgs_ffnn_tpu.ops.two_loop import two_loop_compact
+
+        def direction(v, hist):
+            return two_loop_compact(v, hist, clamp_gamma=True)
     else:
         def direction(v, hist):
             return two_loop(v, hist, clamp_gamma=True)

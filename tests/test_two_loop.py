@@ -107,3 +107,30 @@ def test_gamma_clamp_guard():
     g = jnp.ones((n,))
     r = two_loop(g, hist, clamp_gamma=True)
     assert bool(jnp.all(jnp.isfinite(r)))
+
+
+def test_compact_matches_loop_form():
+    """The GEMM-form compact recursion (the >VMEM-budget fallback) computes
+    the same H_k @ v as the loop form across fills, wrap-around and both
+    gamma policies."""
+    from lbfgs_ffnn_tpu.ops.two_loop import two_loop_compact
+
+    rng = np.random.default_rng(3)
+    for n, m, k in [(300, 5, 0), (300, 5, 3), (300, 5, 5), (300, 4, 9),
+                    (1500, 8, 6)]:
+        hist = empty_history_state(m, n, jnp.float64)
+        for _ in range(k):
+            s = rng.normal(size=n)
+            y = rng.normal(size=n) + 0.5 * s
+            if s @ y <= 1e-3:
+                continue
+            s_j, y_j = jnp.asarray(s), jnp.asarray(y)
+            hist = ring_push(hist, s_j, y_j, 1.0 / jnp.vdot(y_j, s_j),
+                             jnp.array(True))
+        v = jnp.asarray(rng.normal(size=n))
+        for cg in (False, True):
+            np.testing.assert_allclose(
+                np.asarray(two_loop_compact(v, hist, clamp_gamma=cg)),
+                np.asarray(two_loop(v, hist, clamp_gamma=cg)),
+                rtol=1e-11, atol=1e-11,
+            )
