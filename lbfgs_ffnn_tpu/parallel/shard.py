@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from lbfgs_ffnn_tpu.types import BatchProblem, Problem
+from lbfgs_ffnn_tpu.types import BatchProblem, Problem, zero_masked_rows
 
 
 def shard_batch(mesh: Mesh, *arrays: jax.Array, axis_name: str = "data"):
@@ -75,10 +75,15 @@ def data_parallel_batch_problem(
         # Weight each device's local masked mean by its share of the unmasked
         # count so the psum reproduces the global masked mean; the reg term
         # (included in fun_masked) is scaled back to appear exactly once.
+        # Same NaN-padding discipline as types.py fun_masked: zero the padded
+        # rows (protects the VJP) and `where` the loss (protects the forward);
+        # `ls * mask` would let one NaN row poison the psum.
+        xb = zero_masked_rows(mask, xb)
+        yb = zero_masked_rows(mask, yb)
         ls = bp.per_sample(w, xb, yb)
         cnt = jnp.sum(mask)
         total = jnp.maximum(jax.lax.psum(cnt, axis), 1.0)
-        local = jnp.sum(ls * mask) / total
+        local = jnp.sum(jnp.where(mask > 0, ls, 0.0)) / total
         out = jax.lax.psum(local, axis)
         if bp.reg is not None:
             out = out + bp.reg(w)  # regularizer counted exactly once

@@ -215,6 +215,11 @@ def make_batch_problem(
         return loss + reg(w) if reg is not None else loss
 
     def fun_masked(w, xb, yb, mask):
+        # Zero the padded rows before per_sample: a `where` on the loss alone
+        # protects the forward, but the VJP's zero cotangent times a NaN
+        # activation is still NaN, so grad_masked needs clean inputs too.
+        xb = zero_masked_rows(mask, xb)
+        yb = zero_masked_rows(mask, yb)
         ls = per_sample(w, xb, yb)
         # where, not multiply: masked-out rows may hold padding whose loss is
         # NaN/Inf (NaN*0 = NaN would poison the mean).
@@ -230,6 +235,18 @@ def make_batch_problem(
         per_sample=per_sample,
         reg=reg,
     )
+
+
+def zero_masked_rows(mask: jax.Array, arr: jax.Array) -> jax.Array:
+    """Replace rows of ``arr`` where ``mask == 0`` with zeros.
+
+    Used by the masked evaluators so NaN/Inf padding in ragged trailing
+    batches cannot poison either the forward mean or the backward pass
+    (zero cotangent times a NaN activation is NaN). Rows are independent in
+    ``per_sample``, so zeroing masked rows never perturbs unmasked outputs.
+    """
+    shape = (mask.shape[0],) + (1,) * (arr.ndim - 1)
+    return jnp.where(mask.reshape(shape) > 0, arr, jnp.zeros((), arr.dtype))
 
 
 def empty_history(max_iters: int, dtype) -> jax.Array:

@@ -83,6 +83,36 @@ def test_shard_map_masked_matches():
     )
 
 
+def test_shard_map_masked_nan_padding():
+    """Masked-out rows may hold NaN padding (types.py rule): the sharded
+    masked loss/grad must use `where`, not multiply, or the psum is
+    poisoned. Regression for the round-2 `ls * mask` hazard."""
+    mesh = make_mesh()
+    bp = mlp_batch_problem(SPEC)
+    dp = data_parallel_batch_problem(bp, mesh)
+    mask = (jnp.arange(X.shape[0]) < 300).astype(X.dtype)
+    x_poison = jnp.where(mask[:, None] > 0, X, jnp.nan)
+    y_poison = jnp.where(mask[:, None] > 0, Y, jnp.nan)
+    xs, ys, ms = shard_batch(mesh, x_poison, y_poison, mask)
+    w = replicate(mesh, W0)
+    want = float(bp.fun_masked(W0, X, Y, mask))  # clean-data oracle
+    # Single-device masked evaluators are NaN-proof...
+    got_bp = float(bp.fun_masked(W0, x_poison, y_poison, mask))
+    np.testing.assert_allclose(got_bp, want, rtol=1e-6)
+    g_bp = np.asarray(bp.grad_masked(W0, x_poison, y_poison, mask))
+    assert np.all(np.isfinite(g_bp))
+    np.testing.assert_allclose(
+        g_bp, np.asarray(bp.grad_masked(W0, X, Y, mask)), rtol=1e-5, atol=1e-7
+    )
+    # ...and so is the shard_map path.
+    got = float(dp.fun_masked(w, xs, ys, ms))
+    assert np.isfinite(got)
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+    g = np.asarray(dp.grad_masked(w, xs, ys, ms))
+    assert np.all(np.isfinite(g))
+    np.testing.assert_allclose(g, g_bp, rtol=1e-4, atol=1e-6)
+
+
 def test_full_batch_problem_shard_map():
     mesh = make_mesh()
     prob = mlp_problem(SPEC)
