@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from lbfgs_ffnn_tpu.ops.iterative import cg_counted, gmres_counted
 from lbfgs_ffnn_tpu.solvers.common import (
     cached_jit_solve, finalize, init_history, lean_gate, record,
     wolfe_with_counters,
@@ -69,6 +70,7 @@ class _State(NamedTuple):
     gnorm_h: jax.Array
     nf: jax.Array
     ng: jax.Array
+    nmv: jax.Array  # Krylov matvec count (0 under the direct solver)
 
 
 class _Factors(NamedTuple):
@@ -97,23 +99,23 @@ def _factor_matvec(F: _Factors, v: jax.Array) -> jax.Array:
 
 
 def _solve_iterative(matvec, rhs, opts: BFGSOptions):
+    """Counted Krylov solve: returns ``(solution, n_matvecs)`` so the
+    matrix-free work is exact in ``SolveResult.n_matvecs`` (jax.scipy's
+    solvers expose no count — see ops/iterative.py)."""
     if opts.linear_solver == "cg":
-        sol, _ = jax.scipy.sparse.linalg.cg(
+        return cg_counted(
             matvec, rhs, tol=opts.solver_tol, maxiter=opts.solver_max_iters
         )
-        return sol
     if opts.linear_solver == "gmres":
-        sol, _ = jax.scipy.sparse.linalg.gmres(
-            matvec, rhs, tol=opts.solver_tol,
-            maxiter=opts.solver_max_iters, solve_method="batched",
+        return gmres_counted(
+            matvec, rhs, tol=opts.solver_tol, maxiter=opts.solver_max_iters
         )
-        return sol
     raise ValueError(f"unknown linear_solver {opts.linear_solver!r}")
 
 
 def _solve_linear(B, rhs, opts: BFGSOptions):
     if opts.linear_solver == "direct":
-        return jnp.linalg.solve(B, rhs)
+        return jnp.linalg.solve(B, rhs), jnp.int32(0)
     return _solve_iterative(lambda u: B @ u, rhs, opts)
 
 
@@ -135,7 +137,7 @@ def _build(problem: Problem, opts: BFGSOptions):
         s0 = _State(
             k=jnp.int32(0), x=x0, f=f0, g=g0, gnorm=jnp.linalg.norm(g0),
             B=B0, loss_h=loss_h, gnorm_h=gnorm_h,
-            nf=jnp.int32(1), ng=jnp.int32(1),
+            nf=jnp.int32(1), ng=jnp.int32(1), nmv=jnp.int32(0),
         )
 
         def cond(s: _State):
@@ -144,9 +146,13 @@ def _build(problem: Problem, opts: BFGSOptions):
 
         def body(s: _State) -> _State:
             if factors:
-                p = _solve_iterative(lambda u: _factor_matvec(s.B, u), -s.g, opts)
+                p, nmv_add = _solve_iterative(
+                    lambda u: _factor_matvec(s.B, u), -s.g, opts
+                )
+                # the rank-2 update below costs one more factor matvec (Bs)
+                nmv_add = nmv_add + 1
             else:
-                p = _solve_linear(s.B, -s.g, opts)
+                p, nmv_add = _solve_linear(s.B, -s.g, opts)
             dg0 = jnp.vdot(s.g, p)
             ls, nf_add, ng_add = wolfe_with_counters(
                 problem, opts, s.x, p, s.f, dg0, aux, lean
@@ -184,12 +190,13 @@ def _build(problem: Problem, opts: BFGSOptions):
             return _State(
                 k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
                 B=B_new, loss_h=loss_h, gnorm_h=gnorm_h,
-                nf=s.nf + nf_add, ng=s.ng + ng_add,
+                nf=s.nf + nf_add, ng=s.ng + ng_add, nmv=s.nmv + nmv_add,
             )
 
         s = lax.while_loop(cond, body, s0)
         return finalize(s.x, s.k, s.gnorm <= opts.tol, s.f, s.gnorm,
-                        s.loss_h, s.gnorm_h, n_fevals=s.nf, n_gevals=s.ng)
+                        s.loss_h, s.gnorm_h, n_fevals=s.nf, n_gevals=s.ng,
+                        n_matvecs=s.nmv)
 
     return solve
 

@@ -88,7 +88,8 @@ def record(loss_h, gnorm_h, k, loss, gnorm):
 
 
 def finalize(x, k, converged, loss, gnorm, loss_h, gnorm_h, metric_h=None,
-             n_fevals=None, n_gevals=None) -> SolveResult:
+             n_fevals=None, n_gevals=None, n_hevals=None,
+             n_matvecs=None) -> SolveResult:
     return SolveResult(
         x=x,
         n_iters=k,
@@ -100,6 +101,8 @@ def finalize(x, k, converged, loss, gnorm, loss_h, gnorm_h, metric_h=None,
         metric_history=metric_h,
         n_fevals=n_fevals,
         n_gevals=n_gevals,
+        n_hevals=n_hevals,
+        n_matvecs=n_matvecs,
     )
 
 

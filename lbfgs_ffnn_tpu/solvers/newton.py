@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from lbfgs_ffnn_tpu.ops.iterative import cg_counted
 from lbfgs_ffnn_tpu.solvers.common import (
     cached_jit_solve, finalize, init_history, lean_gate, record,
     wolfe_with_counters,
@@ -59,6 +60,7 @@ class _State(NamedTuple):
     gnorm_h: jax.Array
     nf: jax.Array
     ng: jax.Array
+    nh: jax.Array  # HVP count (hvp_cg mode; stays 0 in dense mode)
 
 
 def _damped_direction(H, g, opts: NewtonOptions):
@@ -96,12 +98,15 @@ def _damped_direction_hvp(problem: Problem, x, g, aux, opts: NewtonOptions):
     """Matrix-free variant: CG on ``(H + mu I) p = -g`` where each matvec is
     one exact HVP (forward-over-reverse jvp) — H is never materialized.
     Same mu escalation / descent gate / steepest-descent fallback policy as
-    the dense path."""
+    the dense path. Returns ``(p, n_hvps)`` with the HVP count exact (one
+    per CG iteration, summed over damping trials — the counted CG makes the
+    matrix-free work observable in SolveResult.n_hevals)."""
 
     class _C(NamedTuple):
         mu: jax.Array
         p: jax.Array
         found: jax.Array
+        nh: jax.Array
 
     def cond(c: _C):
         return (~c.found) & (c.mu <= opts.reg_max)
@@ -110,7 +115,7 @@ def _damped_direction_hvp(problem: Problem, x, g, aux, opts: NewtonOptions):
         def matvec(v):
             return problem.hvp(x, v, aux) + c.mu * v
 
-        p, _ = jax.scipy.sparse.linalg.cg(
+        p, nmv = cg_counted(
             matvec, -g, tol=opts.cg_tol, maxiter=opts.cg_max_iters
         )
         ok = jnp.all(jnp.isfinite(p)) & (jnp.vdot(p, g) < 0.0)
@@ -118,15 +123,17 @@ def _damped_direction_hvp(problem: Problem, x, g, aux, opts: NewtonOptions):
             mu=jnp.where(ok, c.mu, c.mu * opts.reg_growth),
             p=jnp.where(ok, p, c.p),
             found=ok,
+            nh=c.nh + nmv,
         )
 
     c0 = _C(
         mu=jnp.asarray(opts.reg_init, dtype=g.dtype),
         p=jnp.zeros_like(g),
         found=jnp.array(False),
+        nh=jnp.int32(0),
     )
     c = lax.while_loop(cond, body, c0)
-    return jnp.where(c.found, c.p, -g)
+    return jnp.where(c.found, c.p, -g), c.nh
 
 
 def _build(problem: Problem, opts: NewtonOptions):
@@ -143,6 +150,7 @@ def _build(problem: Problem, opts: NewtonOptions):
         s0 = _State(
             k=jnp.int32(0), x=x0, f=f0, g=g0, gnorm=jnp.linalg.norm(g0),
             loss_h=loss_h, gnorm_h=gnorm_h, nf=jnp.int32(1), ng=jnp.int32(1),
+            nh=jnp.int32(0),
         )
 
         def cond(s: _State):
@@ -150,10 +158,11 @@ def _build(problem: Problem, opts: NewtonOptions):
 
         def body(s: _State) -> _State:
             if opts.hess_mode == "hvp_cg":
-                p = _damped_direction_hvp(problem, s.x, s.g, aux, opts)
+                p, nh_add = _damped_direction_hvp(problem, s.x, s.g, aux, opts)
             else:
                 H = problem.hess(s.x, aux)
                 p = _damped_direction(H, s.g, opts)
+                nh_add = jnp.int32(0)
             dg0 = jnp.vdot(s.g, p)
             ls, nf_add, ng_add = wolfe_with_counters(
                 problem, opts, s.x, p, s.f, dg0, aux, lean
@@ -172,12 +181,13 @@ def _build(problem: Problem, opts: NewtonOptions):
             return _State(
                 k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
                 loss_h=loss_h, gnorm_h=gnorm_h,
-                nf=s.nf + nf_add, ng=s.ng + ng_add,
+                nf=s.nf + nf_add, ng=s.ng + ng_add, nh=s.nh + nh_add,
             )
 
         s = lax.while_loop(cond, body, s0)
         return finalize(s.x, s.k, s.gnorm <= opts.tol, s.f, s.gnorm,
-                        s.loss_h, s.gnorm_h, n_fevals=s.nf, n_gevals=s.ng)
+                        s.loss_h, s.gnorm_h, n_fevals=s.nf, n_gevals=s.ng,
+                        n_hevals=s.nh)
 
     return solve
 

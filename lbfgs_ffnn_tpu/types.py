@@ -148,6 +148,10 @@ class SolveResult(NamedTuple):
     # equivalent). A forward-mode jvp trial counts as one feval.
     n_fevals: Optional[jax.Array] = None  # objective (forward) evaluations
     n_gevals: Optional[jax.Array] = None  # full-gradient evaluations
+    # Matrix-free work counters (exact, carried through the solve loops):
+    n_hevals: Optional[jax.Array] = None  # Hessian-vector products (Newton-CG)
+    n_matvecs: Optional[jax.Array] = None  # Krylov operator applications
+                                           # (BFGS cg/gmres linear solves)
 
 
 def make_problem(

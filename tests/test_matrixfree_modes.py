@@ -103,6 +103,76 @@ def test_bfgs_factors_gmres_converges():
     np.testing.assert_allclose(np.asarray(res.x), np.ones(4), atol=1e-5)
 
 
+def test_cg_counted_exact_counts():
+    """Counter exactness at both ends: CG on an SPD matrix with k distinct
+    eigenvalues converges in exactly k iterations (= k matvecs from x0=0),
+    and an unconverged run counts exactly maxiter."""
+    from lbfgs_ffnn_tpu.ops.iterative import cg_counted
+
+    d = jnp.concatenate([
+        jnp.full((20,), 1.0), jnp.full((20,), 3.0), jnp.full((10,), 7.0)
+    ])
+    b = jnp.arange(1.0, 51.0)
+    x, k = cg_counted(lambda v: d * v, b, tol=1e-10, maxiter=100)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(b / d), rtol=1e-9)
+    assert int(k) == 3
+    _, k_cap = cg_counted(lambda v: d * v, b, tol=0.0, maxiter=17)
+    assert int(k_cap) == 17
+
+
+def test_gmres_counted_exact_counts():
+    """Each restart cycle costs restart+1 matvecs; an unconverged run with
+    maxiter cycles counts exactly maxiter*(restart+1)."""
+    from lbfgs_ffnn_tpu.ops.iterative import gmres_counted
+
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(size=(30, 30)) + 6.0 * np.eye(30))
+    b = jnp.asarray(rng.normal(size=(30,)))
+    x, nmv = gmres_counted(lambda v: A @ v, b, tol=1e-12, maxiter=50, restart=10)
+    np.testing.assert_allclose(np.asarray(A @ x), np.asarray(b), atol=1e-8)
+    assert int(nmv) % 11 == 0 and int(nmv) > 0
+    _, nmv_cap = gmres_counted(lambda v: A @ v, b, tol=0.0, maxiter=3, restart=10)
+    assert int(nmv_cap) == 3 * 11
+
+
+def test_newton_hvp_cg_counter_exact():
+    """On f = 0.5 w^T D w with D = diag having 4 distinct eigenvalues, every
+    Newton iteration performs one damping trial whose CG converges in exactly
+    4 HVPs, so n_hevals == 4 * n_iters."""
+    d = jnp.asarray([1.0, 2.0, 2.0, 4.0, 4.0, 9.0])
+    prob = make_problem(lambda w, aux: 0.5 * jnp.vdot(w, d * w))._replace(hess=None)
+    res = newton(
+        prob, jnp.ones(6),
+        opts=NewtonOptions(max_iters=50, tol=1e-10, hess_mode="hvp_cg",
+                           cg_tol=1e-12, cg_max_iters=50),
+    )
+    assert bool(res.converged)
+    assert int(res.n_hevals) == 4 * int(res.n_iters)
+    # dense mode reports zero HVPs
+    dense = newton(
+        make_problem(lambda w, aux: 0.5 * jnp.vdot(w, d * w)), jnp.ones(6),
+        opts=NewtonOptions(max_iters=50, tol=1e-10),
+    )
+    assert int(dense.n_hevals) == 0
+
+
+def test_bfgs_matvec_counters():
+    """Krylov matvec accounting: zero under the direct solver; in factors
+    mode at least (1 CG step + 1 update matvec) per iteration and bounded by
+    the per-iteration cap; dense-cg counts the same linear solves."""
+    prob = rosenbrock_problem()
+    x0 = rosenbrock_start(4)
+    direct = bfgs(prob, x0, opts=BFGSOptions(max_iters=60, tol=1e-10))
+    assert int(direct.n_matvecs) == 0
+    opts = BFGSOptions(max_iters=60, tol=1e-10, linear_solver="cg",
+                       storage="factors", solver_max_iters=200)
+    mf = bfgs(prob, x0, opts=opts)
+    it = int(mf.n_iters)
+    assert 2 * it <= int(mf.n_matvecs) <= it * (200 + 1)
+    gm = bfgs(prob, x0, opts=opts._replace(linear_solver="gmres"))
+    assert int(gm.n_matvecs) >= 2 * int(gm.n_iters)
+
+
 def test_bfgs_factors_rejects_direct_solver():
     with pytest.raises(ValueError, match="iterative"):
         bfgs(
