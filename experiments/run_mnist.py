@@ -47,9 +47,11 @@ parser.add_argument("--record-accuracy", action="store_true",
 parser.add_argument("--timed-chunks", type=int, default=0,
                     help=">0: run every solver in K-iteration chunks with "
                          "measured (not synthesized) cumulative TimeMs; "
-                         "-1: auto (max_iters//5 — few enough host syncs "
-                         "that the tunnel round-trip per chunk boundary "
-                         "stays a small fraction of the measured time)")
+                         "-1: auto (max(50, max_iters//5) — few enough host "
+                         "syncs that the tunnel round-trip per chunk boundary "
+                         "stays a small fraction of the measured time; the "
+                         "50-iteration floor keeps short runs to at most a "
+                         "handful of chunks)")
 args = parser.parse_args()
 
 from lbfgs_ffnn_tpu.data.datasets import load_fashion_mnist, load_mnist  # noqa: E402

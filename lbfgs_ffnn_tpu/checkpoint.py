@@ -53,10 +53,16 @@ def restore_checkpoint(path: str | Path, template: Any, *, allow_partial: bool =
     ckptr = _checkpointer()
     try:
         return ckptr.restore(path, template)
-    except (ValueError, TypeError, KeyError):
+    except Exception as e:
         # Structure mismatch between the saved tree and the template — the
-        # one failure class the migration shim exists for. Anything else
-        # (I/O errors, corruption) propagates above.
+        # one failure class the migration shim exists for. Orbax's mismatch
+        # error class varies across versions (ValueError/TypeError/KeyError
+        # in the pinned one), so additionally treat any exception raised
+        # from orbax's own modules as a candidate: the template-free re-read
+        # below re-raises genuine I/O/corruption failures anyway. Errors
+        # from elsewhere (e.g. OSError) propagate untouched.
+        if not _is_structure_mismatch(e):
+            raise
         restored = ckptr.restore(path)
         filled: list[str] = []
         out = _fill_from_template(template, restored, "", filled)
@@ -78,6 +84,16 @@ def restore_checkpoint(path: str | Path, template: Any, *, allow_partial: bool =
                 )
             warnings.warn(msg, stacklevel=2)
         return out
+
+
+def _is_structure_mismatch(e: Exception) -> bool:
+    """Heuristic for 'the saved tree doesn't match the template': the pinned
+    orbax raises ValueError/TypeError/KeyError; other versions raise their
+    own classes, identified by the exception type's defining module."""
+    if isinstance(e, (ValueError, TypeError, KeyError)):
+        return True
+    mod = type(e).__module__ or ""
+    return mod.startswith("orbax") or mod.startswith("etils")
 
 
 def filled_kinds(template: Any, paths: list[str]) -> list[tuple[str, bool]]:

@@ -155,9 +155,9 @@ class Launcher:
         self._y = jnp.asarray(dataset.train_y, dtype=self.dtype)
         self._tx = jnp.asarray(dataset.test_x, dtype=self.dtype)
         self._ty = jnp.asarray(dataset.test_y, dtype=self.dtype)
-        # The accuracy metric closes over the TEST split (captured as a jit
-        # constant); unlike the spec-only problem entries it is
-        # data-dependent and must not survive a dataset swap.
+        # The accuracy metric's *shape* (1 vs 2 columns) depends on whether
+        # a test split exists; the data itself is a traced operand now, but
+        # the cached fn must still not survive a swap that changes that.
         if hasattr(self, "_prob_cache"):
             self._prob_cache.pop("acc", None)
         return self
@@ -194,11 +194,13 @@ class Launcher:
                     self._get_batch_problem(config.lam if config.lam > 0 else 1e-4),
                     self.weights, self._x, self._y,
                     self._slbfgs_opts(config, N), chunk=K,
+                    metric_args=self._metric_args(config),
                 )
             elif solver == "sgd":
                 result, time_ms = sgd_chunked(
                     self._get_batch_problem(0.0), self.weights,
                     self._x, self._y, self._sgd_opts(config), chunk=K,
+                    metric_args=self._metric_args(config),
                 )
             elif solver == "gd":
                 result, time_ms = gd_chunked(
@@ -258,23 +260,28 @@ class Launcher:
         """Per-epoch accuracy metric: [TrainAcc, TestAcc] when a held-out
         split exists (the reference plot tooling's optional panels,
         reference: scripts/plot_results.py:107-127), else TrainAcc alone.
-        The test split rides into the jitted solve as a captured constant —
-        train data stays a traced operand."""
+        Returns ``(metric_fn, metric_args)``: the test split rides into the
+        jitted solve as the ``metric_args`` traced operands — like the train
+        split — so it is never baked into the executable (or the per-
+        (problem, opts) jit cache entries) as a multi-MB constant."""
         if "acc" not in self._prob_cache:
             spec = self.spec
-            tx, ty = self._tx, self._ty
 
             def acc1(w, x, y):
                 pred = jnp.argmax(mlp_apply(spec, w, x), axis=1)
                 return jnp.mean((pred == jnp.argmax(y, axis=1)).astype(w.dtype)) * 100.0
 
-            if tx is not None and int(tx.shape[0]) > 0:
-                def acc(w, x, y):
+            if self._tx is not None and int(self._tx.shape[0]) > 0:
+                def acc(w, x, y, tx, ty):
                     return jnp.stack([acc1(w, x, y), acc1(w, tx, ty)])
             else:
                 acc = acc1
             self._prob_cache["acc"] = acc
-        return self._prob_cache["acc"]
+        fn = self._prob_cache["acc"]
+        margs = ()
+        if self._tx is not None and int(self._tx.shape[0]) > 0:
+            margs = (self._tx, self._ty)
+        return fn, margs
 
     def _lbfgs_opts(self, c: UnifiedConfig) -> LBFGSOptions:
         cuda = self.backend_style == "cuda"
@@ -309,7 +316,7 @@ class Launcher:
     def _sgd_opts(self, c: UnifiedConfig) -> SGDOptions:
         cuda = self.backend_style == "cuda"
         return SGDOptions(
-            metric_fn=self._accuracy_metric() if c.record_accuracy else None,
+            metric_fn=self._accuracy_metric()[0] if c.record_accuracy else None,
             epochs=c.max_iters, batch_size=c.batch_size,
             step_size=c.learning_rate,
             momentum=c.momentum if cuda else 0.0,
@@ -324,7 +331,7 @@ class Launcher:
         # Reference strategy defaults: lambda=1e-4 L2, b_H = batch/2,
         # m_inner = N/batch (unified_optimization.hpp:314-405).
         return SLBFGSOptions(
-            metric_fn=self._accuracy_metric() if c.record_accuracy else None,
+            metric_fn=self._accuracy_metric()[0] if c.record_accuracy else None,
             epochs=c.max_iters, tol=c.tolerance,
             m_inner=max(N // c.batch_size, 1),
             history=c.m_param, L=c.L_param, batch_size=c.batch_size,
@@ -332,6 +339,13 @@ class Launcher:
             step_size=c.learning_rate, seed=c.seed,
             two_loop_impl=c.two_loop_impl,
         )
+
+    def _metric_args(self, c: UnifiedConfig) -> tuple:
+        """Traced operands for the accuracy metric (the held-out split),
+        empty when accuracy recording is off."""
+        if not c.record_accuracy:
+            return ()
+        return self._accuracy_metric()[1]
 
     def _make_run(self, solver: str, c: UnifiedConfig):
         cuda = self.backend_style == "cuda"
@@ -351,13 +365,15 @@ class Launcher:
         if solver == "sgd":
             bp = self._get_batch_problem(0.0)
             opts = self._sgd_opts(c)
-            return lambda: sgd(bp, w0, x, y, opts)
+            margs = self._metric_args(c)
+            return lambda: sgd(bp, w0, x, y, opts, metric_args=margs)
 
         if solver == "slbfgs":
             lam = c.lam if c.lam > 0 else 1e-4
             bp = self._get_batch_problem(lam)
             opts = self._slbfgs_opts(c, N)
-            return lambda: slbfgs(bp, w0, x, y, opts)
+            margs = self._metric_args(c)
+            return lambda: slbfgs(bp, w0, x, y, opts, metric_args=margs)
 
         raise ValueError(f"unknown solver {solver!r}")
 

@@ -64,13 +64,15 @@ def cached_jit_solve(builder, problem, opts):
     return jax.jit(builder(problem, opts))
 
 
-def init_metric_history(metric_fn, epochs: int, w0, x, y):
-    """Per-epoch metric storage. ``metric_fn(w, x, y)`` may return a scalar
-    (one metric column, e.g. TrainAcc) or a 1-D vector (several, e.g.
-    [TrainAcc, TestAcc]); the shape is resolved abstractly (no evaluation)."""
+def init_metric_history(metric_fn, epochs: int, w0, x, y, *margs):
+    """Per-epoch metric storage. ``metric_fn(w, x, y, *margs)`` may return a
+    scalar (one metric column, e.g. TrainAcc) or a 1-D vector (several, e.g.
+    [TrainAcc, TestAcc]); the shape is resolved abstractly (no evaluation).
+    ``margs`` are extra traced operands (e.g. the held-out split) so metric
+    data never has to be baked into the executable as a constant."""
     if metric_fn is None:
         return jnp.full((epochs,), jnp.nan, dtype=w0.dtype)
-    shape = jax.eval_shape(metric_fn, w0, x, y).shape
+    shape = jax.eval_shape(metric_fn, w0, x, y, *margs).shape
     return jnp.full((epochs,) + shape, jnp.nan, dtype=w0.dtype)
 
 

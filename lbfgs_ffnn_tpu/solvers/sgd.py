@@ -46,10 +46,13 @@ class SGDOptions(NamedTuple):
     record_full: bool = True  # per-epoch full-batch loss/gradnorm recording
     sampler: str = "topk"     # "random" sampling's without-replacement
                               # draw: "topk" | "sort" (see ops/sampling.py)
-    metric_fn: object = None  # optional (w, x, y) -> scalar or (k,) vector
-                              # of metrics, recorded per epoch
-                              # (e.g. train accuracy; reference plot tooling
-                              # shows TrainAcc columns when present)
+    metric_fn: object = None  # optional (w, x, y, *metric_args) -> scalar
+                              # or (k,) vector of metrics, recorded per
+                              # epoch (e.g. train accuracy; reference plot
+                              # tooling shows TrainAcc columns when present).
+                              # Extra data (e.g. the test split) arrives via
+                              # the solver's metric_args operand, NOT as a
+                              # closure constant baked into the executable.
 
 
 class _State(NamedTuple):
@@ -64,7 +67,7 @@ class _State(NamedTuple):
     metric_h: jax.Array
 
 
-def _init_state(opts: SGDOptions, w0, x, y) -> _State:
+def _init_state(opts: SGDOptions, w0, x, y, margs=()) -> _State:
     loss_h, gnorm_h = init_history(opts.epochs, w0.dtype)
     return _State(
         epoch=jnp.int32(0),
@@ -75,7 +78,7 @@ def _init_state(opts: SGDOptions, w0, x, y) -> _State:
         stop=jnp.array(False),
         loss_h=loss_h,
         gnorm_h=gnorm_h,
-        metric_h=init_metric_history(opts.metric_fn, opts.epochs, w0, x, y),
+        metric_h=init_metric_history(opts.metric_fn, opts.epochs, w0, x, y, *margs),
     )
 
 
@@ -92,7 +95,7 @@ def _make_parts(problem: BatchProblem, opts: SGDOptions, N: int):
     else:
         raise ValueError(f"unknown sampling {opts.sampling!r}")
 
-    def make_body(x, y):
+    def make_body(x, y, margs=()):
         key = jax.random.PRNGKey(opts.seed)
 
         def update(w, v, lr, g):
@@ -141,7 +144,7 @@ def _make_parts(problem: BatchProblem, opts: SGDOptions, N: int):
             loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.epoch, full_loss, gnorm)
             metric_h = s.metric_h
             if opts.metric_fn is not None:
-                metric_h = metric_h.at[s.epoch].set(opts.metric_fn(w, x, y))
+                metric_h = metric_h.at[s.epoch].set(opts.metric_fn(w, x, y, *margs))
 
             # Relative-improvement stopping (reference: src/cuda/sgd.cuh:126-131).
             stop = s.stop
@@ -172,10 +175,10 @@ def _finalize_state(s: _State, opts: SGDOptions) -> SolveResult:
 def _build(problem: BatchProblem, opts: SGDOptions, N: int):
     make_body = _make_parts(problem, opts, N)
 
-    def solve(w0, x, y):
-        body = make_body(x, y)
+    def solve(w0, x, y, margs=()):
+        body = make_body(x, y, margs)
         s = lax.while_loop(
-            lambda s: _not_done(s, opts), body, _init_state(opts, w0, x, y)
+            lambda s: _not_done(s, opts), body, _init_state(opts, w0, x, y, margs)
         )
         return _finalize_state(s, opts)
 
@@ -186,13 +189,13 @@ def _build(problem: BatchProblem, opts: SGDOptions, N: int):
 def _cached_chunk_fns(problem, opts, N, chunk: int):
     make_body = _make_parts(problem, opts, N)
 
-    def init(w0, x, y):
-        return _init_state(opts, w0, x, y)
+    def init(w0, x, y, margs=()):
+        return _init_state(opts, w0, x, y, margs)
 
-    def run_chunk(state, x, y):
+    def run_chunk(state, x, y, margs=()):
         # Bounded while_loop, not scan+cond (the cond identity branch
         # copies the whole carry per epoch — see lbfgs._cached_chunk_fns).
-        body = make_body(x, y)
+        body = make_body(x, y, margs)
         e_end = state.epoch + chunk
         return lax.while_loop(
             lambda s: _not_done(s, opts) & (s.epoch < e_end), body, state
@@ -210,6 +213,7 @@ def sgd_chunked(
     chunk: int = 10,
     callback=None,
     resume_state: _State | None = None,
+    metric_args: tuple = (),
 ) -> tuple[SolveResult, jax.Array]:
     """Run SGD in jitted ``chunk``-epoch pieces with *measured* cumulative
     per-epoch wall time (same protocol as ``slbfgs_chunked``) — the honest
@@ -221,9 +225,10 @@ def sgd_chunked(
     if resume_state is None and w0 is None:
         raise ValueError("w0 is required unless resume_state is given")
     init, run_chunk = _cached_chunk_fns(problem, opts, int(x.shape[0]), chunk)
-    state = resume_state if resume_state is not None else init(w0, x, y)
+    state = (resume_state if resume_state is not None
+             else init(w0, x, y, metric_args))
     state, time_ms = drive_chunks(
-        run_chunk, state, (x, y), opts.epochs,
+        run_chunk, state, (x, y, metric_args), opts.epochs,
         counter=lambda s: int(s.epoch),
         done=lambda s: bool(s.stop),
         sync=lambda s: s.prev_loss,
@@ -238,9 +243,12 @@ def sgd(
     x: jax.Array,
     y: jax.Array,
     opts: SGDOptions | None = None,
+    metric_args: tuple = (),
 ) -> SolveResult:
     opts = opts or SGDOptions()
-    return cached_jit_solve_sgd(problem, opts, int(x.shape[0]))(w0, x, y)
+    return cached_jit_solve_sgd(problem, opts, int(x.shape[0]))(
+        w0, x, y, tuple(metric_args)
+    )
 
 
 import functools  # noqa: E402

@@ -343,7 +343,7 @@ def _make_parts(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: 
         def direction(v, hist):
             return two_loop(v, hist, clamp_gamma=True)
 
-    def make_body(x, y):
+    def make_body(x, y, margs=()):
         if mesh is None:
             ops = _direct_ops(problem, x, y, N, b, b_h, opts)
         else:
@@ -462,7 +462,9 @@ def _make_parts(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: 
                     loss_h, gnorm_h = s.loss_h, s.gnorm_h
                 metric_h = s.metric_h
                 if opts.metric_fn is not None:
-                    metric_h = metric_h.at[s.epoch].set(opts.metric_fn(w_new, x, y))
+                    metric_h = metric_h.at[s.epoch].set(
+                        opts.metric_fn(w_new, x, y, *margs)
+                    )
 
                 return _State(
                     epoch=s.epoch + 1, w=w_new, hist=hist, u_prev=u_prev,
@@ -480,7 +482,7 @@ def _make_parts(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: 
     return make_body
 
 
-def _init_state(opts: SLBFGSOptions, w0: jax.Array, x, y) -> _State:
+def _init_state(opts: SLBFGSOptions, w0: jax.Array, x, y, margs=()) -> _State:
     n = w0.shape[0]
     loss_h, gnorm_h = init_history(opts.epochs, w0.dtype)
     return _State(
@@ -493,7 +495,7 @@ def _init_state(opts: SLBFGSOptions, w0: jax.Array, x, y) -> _State:
         gnorm=jnp.asarray(jnp.inf, dtype=w0.dtype),
         loss_h=loss_h,
         gnorm_h=gnorm_h,
-        metric_h=init_metric_history(opts.metric_fn, opts.epochs, w0, x, y),
+        metric_h=init_metric_history(opts.metric_fn, opts.epochs, w0, x, y, *margs),
     )
 
 
@@ -512,10 +514,10 @@ def _finalize_state(s: _State, opts: SLBFGSOptions) -> SolveResult:
 def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
     make_body = _make_parts(problem, opts, N, mesh, axis)
 
-    def solve(w0, x, y):
-        body = make_body(x, y)
+    def solve(w0, x, y, margs=()):
+        body = make_body(x, y, margs)
         s = lax.while_loop(
-            lambda s: _not_done(s, opts), body, _init_state(opts, w0, x, y)
+            lambda s: _not_done(s, opts), body, _init_state(opts, w0, x, y, margs)
         )
         return _finalize_state(s, opts)
 
@@ -535,13 +537,16 @@ def slbfgs(
     opts: SLBFGSOptions | None = None,
     mesh=None,
     axis_name: str = "data",
+    metric_args: tuple = (),
 ) -> SolveResult:
     """Run S-LBFGS. With ``mesh`` set, evaluations are explicitly
     batch-sharded (pass ``x``/``y`` sharded via ``parallel.shard_batch`` and
     ``w0`` replicated); see the module docstring for the two sampling
     layouts."""
     opts = opts or SLBFGSOptions()
-    return _cached(problem, opts, int(x.shape[0]), mesh, axis_name)(w0, x, y)
+    return _cached(problem, opts, int(x.shape[0]), mesh, axis_name)(
+        w0, x, y, tuple(metric_args)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -553,13 +558,13 @@ def slbfgs(
 def _cached_chunk_fns(problem, opts, N, mesh, axis, chunk: int):
     make_body = _make_parts(problem, opts, N, mesh, axis)
 
-    def init(w0, x, y):
-        return _init_state(opts, w0, x, y)
+    def init(w0, x, y, margs=()):
+        return _init_state(opts, w0, x, y, margs)
 
-    def run_chunk(state, x, y):
+    def run_chunk(state, x, y, margs=()):
         # Bounded while_loop, not scan+cond (the cond identity branch
         # copies the whole carry per epoch — see lbfgs._cached_chunk_fns).
-        body = make_body(x, y)
+        body = make_body(x, y, margs)
         e_end = state.epoch + chunk
         return lax.while_loop(
             lambda s: _not_done(s, opts) & (s.epoch < e_end), body, state
@@ -579,6 +584,7 @@ def slbfgs_chunked(
     resume_state: _State | None = None,
     mesh=None,
     axis_name: str = "data",
+    metric_args: tuple = (),
 ) -> tuple[SolveResult, jax.Array]:
     """Run S-LBFGS in jitted ``chunk``-epoch pieces (the flagship's
     counterpart of :func:`lbfgs_ffnn_tpu.solvers.lbfgs.lbfgs_chunked`).
@@ -603,9 +609,10 @@ def slbfgs_chunked(
         problem, opts, int(x.shape[0]), mesh, axis_name, chunk
     )
 
-    state = resume_state if resume_state is not None else init(w0, x, y)
+    state = (resume_state if resume_state is not None
+             else init(w0, x, y, metric_args))
     state, time_ms = drive_chunks(
-        run_chunk, state, (x, y), opts.epochs,
+        run_chunk, state, (x, y, metric_args), opts.epochs,
         counter=lambda s: int(s.epoch),
         done=lambda s: bool(s.stop),
         sync=lambda s: s.gnorm,
