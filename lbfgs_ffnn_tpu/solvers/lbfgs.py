@@ -334,22 +334,26 @@ def _build(problem: Problem, opts: LBFGSOptions):
     return solve
 
 
-def _build_param_sharded(problem: Problem, opts: LBFGSOptions, mesh, axis: str):
-    """Parameter-sharded L-BFGS: the model axis of every large vector — the
-    iterate, gradient, direction, and the (S, Y) curvature ring — is sharded
-    over ``mesh``; scalars (f, alpha, rho, gamma, ring indices, histories)
-    stay replicated. Every inner product of the two-loop recursion is a
-    per-shard partial dot + one ``psum`` over ICI (``two_loop_sharded``);
-    line-search and update axpys stay shard-local (GSPMD keeps elementwise
-    ops on the operands' sharding). This is the model-parallel complement of
-    the batch-sharded gradient path, for when the m x n curvature history
-    exceeds one chip's HBM — no reference counterpart (it is single-device
-    only); SURVEY.md §2.6's parameter-axis ambition.
+class _ShardedEnv(NamedTuple):
+    """Everything the mesh-mode drivers share: the tile-padded problem, the
+    iteration body with the psum-reduced direction, the sharding-constraint
+    re-annotator, and the padding geometry."""
 
-    The solver runs in tile-padded parameter space (n rounded up to the
-    8x128 f32 tile, matching the ring rows), so shards are even; the
-    objective sees the unpadded slice and gradients are zero-padded back.
-    """
+    pp: Problem
+    body: Callable
+    constrain: Callable
+    init: Callable  # (x0_unpadded, aux) -> constrained _State
+    n: int
+    n_pad: int
+
+
+def _sharded_env(problem: Problem, opts: LBFGSOptions, mesh, axis: str,
+                 n: int) -> _ShardedEnv:
+    """Build the parameter-sharded solver environment for a fixed parameter
+    count ``n`` (static). See :func:`_build_param_sharded` for the design;
+    this factoring lets :func:`lbfgs_chunked` run the identical body in
+    measured chunks (VERDICT r2 §4: the history-exceeds-one-chip scenario is
+    exactly the long-run scenario that needs resume)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from lbfgs_ffnn_tpu.ops.two_loop import _pad_to, _round_up, two_loop_sharded
@@ -366,86 +370,111 @@ def _build_param_sharded(problem: Problem, opts: LBFGSOptions, mesh, axis: str):
     def direction(g, hist):
         return -two_loop_sharded(g, hist, mesh, axis)
 
-    def solve(x0, aux):
-        n = x0.shape[0]
-        n_pad = _round_up(n)
-        # The ring is sharded over its TILE-ROW axis (rows = n_pad/128), so
-        # the row count — not the raw padded length — must split evenly.
-        if (n_pad // 128) % ndev:
-            raise ValueError(
-                f"tile-row count {n_pad // 128} (= padded params {n_pad} / "
-                f"128) must be divisible by the mesh axis size {ndev}"
-            )
+    n_pad = _round_up(n)
+    # The ring is sharded over its TILE-ROW axis (rows = n_pad/128), so
+    # the row count — not the raw padded length — must split evenly.
+    if (n_pad // 128) % ndev:
+        raise ValueError(
+            f"tile-row count {n_pad // 128} (= padded params {n_pad} / "
+            f"128) must be divisible by the mesh axis size {ndev}"
+        )
 
-        # The padded objective: evaluation sees the real n parameters;
-        # gradients come back zero-padded so all solver axpys/dots operate
-        # on even (n_pad,) shards. Padding lanes stay exactly zero through
-        # every update (their gradient, direction, and step are zero).
-        # The line restriction (line_fun / carried prefix) is wrapped
-        # through the same slice-and-pad adapters, so the lean-trial
-        # machinery survives the mesh mode instead of silently degrading
-        # to full-objective trials.
-        def fun_pad(w, aux):
-            return problem.fun(w[:n], aux)
+    # The padded objective: evaluation sees the real n parameters;
+    # gradients come back zero-padded so all solver axpys/dots operate
+    # on even (n_pad,) shards. Padding lanes stay exactly zero through
+    # every update (their gradient, direction, and step are zero).
+    # The line restriction (line_fun / carried prefix) is wrapped
+    # through the same slice-and-pad adapters, so the lean-trial
+    # machinery survives the mesh mode instead of silently degrading
+    # to full-objective trials.
+    def fun_pad(w, aux):
+        return problem.fun(w[:n], aux)
 
-        def grad_pad(w, aux):
-            return _pad_to(problem.grad(w[:n], aux), n_pad)
+    def grad_pad(w, aux):
+        return _pad_to(problem.grad(w[:n], aux), n_pad)
 
-        def vag_pad(w, aux):
-            f, g = problem.value_and_grad(w[:n], aux)
-            return f, _pad_to(g, n_pad)
+    def vag_pad(w, aux):
+        f, g = problem.value_and_grad(w[:n], aux)
+        return f, _pad_to(g, n_pad)
 
-        line_fun_pad = None
-        if problem.line_fun is not None:
-            def line_fun_pad(w, p, aux, _lf=problem.line_fun):
-                return _lf(w[:n], p[:n], aux)
+    line_fun_pad = None
+    if problem.line_fun is not None:
+        def line_fun_pad(w, p, aux, _lf=problem.line_fun):
+            return _lf(w[:n], p[:n], aux)
 
-        lp_pad = None
-        if problem.line_prefix is not None:
-            from lbfgs_ffnn_tpu.types import LinePrefix
+    lp_pad = None
+    if problem.line_prefix is not None:
+        from lbfgs_ffnn_tpu.types import LinePrefix
 
-            lp = problem.line_prefix
-            if lp.vag_restrict is not None:
-                def vag_restrict_pad(P, B, w, p, aux, _v=lp.vag_restrict):
-                    inner = _v(P, B, w[:n], p[:n], aux)
+        lp = problem.line_prefix
+        if lp.vag_restrict is not None:
+            def vag_restrict_pad(P, B, w, p, aux, _v=lp.vag_restrict):
+                inner = _v(P, B, w[:n], p[:n], aux)
 
-                    def call(alpha):
-                        f, g = inner(alpha)
-                        return f, _pad_to(g, n_pad)
+                def call(alpha):
+                    f, g = inner(alpha)
+                    return f, _pad_to(g, n_pad)
 
-                    return call
-            else:
-                vag_restrict_pad = None
-            lp_pad = LinePrefix(
-                init=lambda w, aux, _i=lp.init: _i(w[:n], aux),
-                direction=lambda p, aux, _d=lp.direction: _d(p[:n], aux),
-                restrict=lambda P, B, w, p, aux, _r=lp.restrict: _r(
-                    P, B, w[:n], p[:n], aux
-                ),
-                vag_restrict=vag_restrict_pad,
-            )
+                return call
+        else:
+            vag_restrict_pad = None
+        lp_pad = LinePrefix(
+            init=lambda w, aux, _i=lp.init: _i(w[:n], aux),
+            direction=lambda p, aux, _d=lp.direction: _d(p[:n], aux),
+            restrict=lambda P, B, w, p, aux, _r=lp.restrict: _r(
+                P, B, w[:n], p[:n], aux
+            ),
+            vag_restrict=vag_restrict_pad,
+        )
 
-        pp = Problem(fun=fun_pad, grad=grad_pad, value_and_grad=vag_pad,
-                     line_fun=line_fun_pad, line_prefix=lp_pad)
-        body = _make_body(pp, opts, direction=direction)
+    pp = Problem(fun=fun_pad, grad=grad_pad, value_and_grad=vag_pad,
+                 line_fun=line_fun_pad, line_prefix=lp_pad)
+    body = _make_body(pp, opts, direction=direction)
 
-        def constrain(s: _State) -> _State:
-            sh = lambda a: lax.with_sharding_constraint(a, vec_s)
-            return s._replace(
-                x=sh(s.x), g=sh(s.g),
-                hist=s.hist._replace(
-                    S=lax.with_sharding_constraint(s.hist.S, row_s),
-                    Y=lax.with_sharding_constraint(s.hist.Y, row_s),
-                ),
-            )
+    def constrain(s: _State) -> _State:
+        sh = lambda a: lax.with_sharding_constraint(a, vec_s)
+        return s._replace(
+            x=sh(s.x), g=sh(s.g),
+            hist=s.hist._replace(
+                S=lax.with_sharding_constraint(s.hist.S, row_s),
+                Y=lax.with_sharding_constraint(s.hist.Y, row_s),
+            ),
+        )
 
+    def init(x0, aux):
         x0p = lax.with_sharding_constraint(_pad_to(x0, n_pad), vec_s)
-        s0 = constrain(_init_state(pp, opts, x0p, aux))
+        return constrain(_init_state(pp, opts, x0p, aux))
+
+    return _ShardedEnv(pp=pp, body=body, constrain=constrain, init=init,
+                       n=n, n_pad=n_pad)
+
+
+def _build_param_sharded(problem: Problem, opts: LBFGSOptions, mesh, axis: str):
+    """Parameter-sharded L-BFGS: the model axis of every large vector — the
+    iterate, gradient, direction, and the (S, Y) curvature ring — is sharded
+    over ``mesh``; scalars (f, alpha, rho, gamma, ring indices, histories)
+    stay replicated. Every inner product of the two-loop recursion is a
+    per-shard partial dot + one ``psum`` over ICI (``two_loop_sharded``);
+    line-search and update axpys stay shard-local (GSPMD keeps elementwise
+    ops on the operands' sharding). This is the model-parallel complement of
+    the batch-sharded gradient path, for when the m x n curvature history
+    exceeds one chip's HBM — no reference counterpart (it is single-device
+    only); SURVEY.md §2.6's parameter-axis ambition.
+
+    The solver runs in tile-padded parameter space (n rounded up to the
+    8x128 f32 tile, matching the ring rows), so shards are even; the
+    objective sees the unpadded slice and gradients are zero-padded back.
+    """
+
+    def solve(x0, aux):
+        env = _sharded_env(problem, opts, mesh, axis, x0.shape[0])
+        s0 = env.init(x0, aux)
         s = lax.while_loop(
-            lambda s: _not_done(s, opts), lambda s: constrain(body(s, aux)), s0
+            lambda s: _not_done(s, opts),
+            lambda s: env.constrain(env.body(s, aux)), s0
         )
         res = _finalize_state(s, opts)
-        return res._replace(x=res.x[:n])
+        return res._replace(x=res.x[: env.n])
 
     return solve
 
@@ -500,6 +529,25 @@ def _cached_chunk_fns(problem, opts, chunk: int):
     return jax.jit(init), jax.jit(run_chunk)
 
 
+@functools.lru_cache(maxsize=256)
+def _cached_chunk_fns_sharded(problem, opts, mesh, axis, n: int, chunk: int):
+    """Mesh-mode chunk functions: the identical parameter-sharded body as
+    :func:`_build_param_sharded`, run in bounded-while chunks. ``n`` (the
+    unpadded parameter count) is part of the cache key because the padding
+    adapters close over it."""
+    env = _sharded_env(problem, opts, mesh, axis, n)
+
+    def run_chunk(state, aux):
+        k_end = state.k + chunk
+        return lax.while_loop(
+            lambda s: _not_done(s, opts) & (s.k < k_end),
+            lambda s: env.constrain(env.body(s, aux)),
+            state,
+        )
+
+    return jax.jit(env.init), jax.jit(run_chunk), env
+
+
 def lbfgs_chunked(
     problem: Problem,
     x0: Optional[jax.Array],
@@ -508,6 +556,9 @@ def lbfgs_chunked(
     chunk: int = 10,
     callback: Optional[Callable[[_State, float], None]] = None,
     resume_state: Optional[_State] = None,
+    mesh=None,
+    shard_axis: str = "model",
+    n_params: Optional[int] = None,
 ) -> tuple[SolveResult, "jnp.ndarray"]:
     """Run L-BFGS in jitted ``chunk``-iteration pieces.
 
@@ -530,15 +581,41 @@ def lbfgs_chunked(
     written by an older release (or migrated with template-filled fields,
     see ``checkpoint.restore_checkpoint``) can therefore never resume with a
     stale prefix silently corrupting every subsequent line-search trial.
+
+    ``mesh`` runs the *parameter-sharded* body (identical to
+    ``lbfgs(mesh=...)``) in measured chunks, so a run whose curvature
+    history exceeds one chip can be timed and kill-and-resumed like any
+    other. A mesh-mode ``resume_state`` carries the TILE-PADDED iterate, so
+    resuming without ``x0`` requires ``n_params`` (the unpadded parameter
+    count); the restored state re-shards onto the current mesh through the
+    body's sharding constraints — the checkpoint itself is layout-free.
     """
     opts = opts or LBFGSOptions()
     if resume_state is None and x0 is None:
         raise ValueError("x0 is required unless resume_state is given")
-    init, run_chunk = _cached_chunk_fns(problem, opts, chunk)
+    if mesh is not None:
+        if x0 is not None:
+            n = int(x0.shape[0])
+        elif n_params is not None:
+            n = int(n_params)
+        else:
+            raise ValueError(
+                "mesh-mode resume needs n_params (resume_state.x is "
+                "tile-padded; the unpadded count cannot be inferred)"
+            )
+        init, run_chunk, env = _cached_chunk_fns_sharded(
+            problem, opts, mesh, shard_axis, n, chunk
+        )
+        prefix_problem = env.pp
+    else:
+        init, run_chunk = _cached_chunk_fns(problem, opts, chunk)
+        prefix_problem = problem
 
     state = resume_state if resume_state is not None else init(x0, aux)
     if resume_state is not None and _use_prefix(problem, opts):
-        state = state._replace(prefix=problem.line_prefix.init(state.x, aux))
+        state = state._replace(
+            prefix=prefix_problem.line_prefix.init(state.x, aux)
+        )
     state, time_ms = drive_chunks(
         run_chunk, state, (aux,), opts.max_iters,
         counter=lambda s: int(s.k),
@@ -546,4 +623,7 @@ def lbfgs_chunked(
         sync=lambda s: s.f,
         callback=callback,
     )
-    return _finalize_state(state, opts), time_ms
+    res = _finalize_state(state, opts)
+    if mesh is not None:
+        res = res._replace(x=res.x[: env.n])
+    return res, time_ms

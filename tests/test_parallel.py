@@ -405,3 +405,61 @@ def test_lbfgs_param_sharded_divisibility_guard():
     y = jax.nn.one_hot(jnp.arange(8) % 4, 4)
     with pytest.raises(ValueError, match="tile-row count"):
         lbfgs(prob, w0, aux=(x, y), opts=LBFGSOptions(max_iters=2), mesh=mesh)
+
+
+def test_lbfgs_param_sharded_chunked_checkpoint_resume(tmp_path):
+    """VERDICT r2 item 4: the param-sharded solver can be measured-timed and
+    kill-and-resumed — lbfgs_chunked(mesh=...) runs the identical sharded
+    body in chunks, the sharded RingState round-trips through Orbax, and the
+    restored state resumes onto a FRESH mesh (the checkpoint is layout-free;
+    the body's sharding constraints re-shard it)."""
+    from lbfgs_ffnn_tpu.checkpoint import restore_checkpoint, save_checkpoint
+    from lbfgs_ffnn_tpu.solvers.lbfgs import LBFGSOptions, lbfgs_chunked
+
+    spec = mlp_spec([12, 16, 4], ["tanh", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(5), dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(6), (64, 12), dtype=jnp.float64)
+    y = jax.nn.one_hot(jnp.arange(64) % 4, 4, dtype=jnp.float64)
+    n = int(w0.shape[0])
+    opts = LBFGSOptions(max_iters=20, tol=1e-14, m=6, line_search="armijo",
+                        prefix_vag=False, ls_value_only=False)
+    mesh = make_mesh(axis_name="model")
+
+    # chunked mesh run == whole-solve mesh run (identical body)
+    ref = lbfgs(prob, w0, aux=(x, y), opts=opts, mesh=mesh)
+    res_full, tms_full = lbfgs_chunked(
+        prob, w0, aux=(x, y), opts=opts, chunk=5, mesh=mesh
+    )
+    np.testing.assert_array_equal(np.asarray(res_full.x), np.asarray(ref.x))
+    assert np.isfinite(np.asarray(tms_full)[: int(res_full.n_iters)]).all()
+
+    saved = {}
+
+    def save_at_10(state, elapsed):
+        if int(state.k) == 10 and not saved:
+            save_checkpoint(tmp_path / "mid", state)
+            saved["template"] = jax.tree_util.tree_map(
+                lambda a: np.zeros(a.shape, a.dtype), state
+            )
+
+    lbfgs_chunked(prob, w0, aux=(x, y), opts=opts, chunk=5, mesh=mesh,
+                  callback=save_at_10)
+    assert saved, "checkpoint callback never fired"
+
+    restored = restore_checkpoint(tmp_path / "mid", saved["template"])
+    assert int(restored.k) == 10
+    # the padded, sharded ring survived the round trip: (m, rows, 128)
+    assert restored.hist.S.shape == (6, 8, 128)
+
+    # fresh mesh object (the realistic restart: a new process, new Mesh)
+    fresh_mesh = make_mesh(axis_name="model")
+    res_resumed, tms = lbfgs_chunked(
+        prob, None, aux=(x, y), opts=opts, chunk=5, mesh=fresh_mesh,
+        resume_state=restored, n_params=n,
+    )
+    np.testing.assert_array_equal(np.asarray(res_resumed.x), np.asarray(res_full.x))
+    assert int(res_resumed.n_iters) == int(res_full.n_iters)
+    tms = np.asarray(tms)
+    assert np.isnan(tms[:10]).all()  # pre-kill iterations: not measured here
+    assert np.isfinite(tms[10: int(res_resumed.n_iters)]).all()
