@@ -320,7 +320,69 @@ def _sharded_ops(
     return _Ops(full_grad, full_loss, batch_grads, hvp)
 
 
-def _make_parts(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
+def _outofcore_ops(problem: BatchProblem, store, N: int, b: int, b_h: int, opts) -> _Ops:
+    """Host-resident dataset: the SVRG full-gradient anchor accumulates over
+    ChunkStore chunks (one chunk device-resident at a time) and minibatches
+    arrive through host-side index gathers — the out-of-HBM configuration
+    for the flagship (reference full-gradient pass: s_lbfgs.hpp:203-206 over
+    CPU RAM). Same index streams as _direct_ops (identical keys, identical
+    sampler), so the trajectory matches the in-HBM run up to chunked-
+    summation rounding; see tests/test_outofcore.py."""
+    from lbfgs_ffnn_tpu.data.outofcore import accumulate_chunks
+    from lbfgs_ffnn_tpu.types import zero_masked_rows
+
+    def sample(k, size):
+        return sample_without_replacement(k, N, size, opts.sampler)
+
+    def _sum_loss(w, xb, yb, mask):
+        xb = zero_masked_rows(mask, xb)
+        yb = zero_masked_rows(mask, yb)
+        ls = problem.per_sample(w, xb, yb)
+        return jnp.sum(jnp.where(mask > 0, ls, 0.0))
+
+    _sum_grad = jax.grad(_sum_loss)
+
+    def full_grad(w):
+        g = accumulate_chunks(
+            store, lambda xb, yb, m: _sum_grad(w, xb, yb, m), jnp.zeros_like(w)
+        ) / N
+        return g + jax.grad(problem.reg)(w) if problem.reg is not None else g
+
+    def full_loss(w):
+        f = accumulate_chunks(
+            store, lambda xb, yb, m: _sum_loss(w, xb, yb, m),
+            jnp.zeros((), w.dtype),
+        ) / N
+        return f + problem.reg(w) if problem.reg is not None else f
+
+    def batch_grads(w_t, w_anchor, key):
+        xb, yb = store.fetch_rows(sample(key, b))
+        return problem.grad(w_t, xb, yb), problem.grad(w_anchor, xb, yb)
+
+    def hvp(u, s_vec, key):
+        xh, yh = store.fetch_rows(sample(key, b_h))
+        if opts.hvp_mode == "fd":
+            return problem.fd_hvp(u, s_vec, xh, yh, eps=opts.fd_eps)
+        return problem.hvp(u, s_vec, xh, yh)
+
+    def epoch_batch_idx(keys):
+        return jax.vmap(lambda k: sample(k, b))(keys)
+
+    def batch_grads_at(w_t, w_anchor, idx):
+        # same vmapped double-gradient as _direct_ops, host gather instead
+        # of jnp.take
+        xb, yb = store.fetch_rows(idx)
+        g2 = jax.vmap(lambda w: problem.grad(w, xb, yb))(
+            jnp.stack([w_t, w_anchor])
+        )
+        return g2[0], g2[1]
+
+    return _Ops(full_grad, full_loss, batch_grads, hvp,
+                epoch_batch_idx, batch_grads_at)
+
+
+def _make_parts(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str,
+                store=None):
     """Shared trace-time pieces: returns ``make_body(x, y) -> body(state)``,
     the per-epoch transition both drivers (while_loop and chunked) run."""
     b = min(opts.batch_size, N)
@@ -344,7 +406,9 @@ def _make_parts(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: 
             return two_loop(v, hist, clamp_gamma=True)
 
     def make_body(x, y, margs=()):
-        if mesh is None:
+        if store is not None:
+            ops = _outofcore_ops(problem, store, N, b, b_h, opts)
+        elif mesh is None:
             ops = _direct_ops(problem, x, y, N, b, b_h, opts)
         else:
             ops = _sharded_ops(problem, x, y, N, b, b_h, opts, mesh, axis)
@@ -511,8 +575,9 @@ def _finalize_state(s: _State, opts: SLBFGSOptions) -> SolveResult:
     )
 
 
-def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
-    make_body = _make_parts(problem, opts, N, mesh, axis)
+def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str,
+           store=None):
+    make_body = _make_parts(problem, opts, N, mesh, axis, store)
 
     def solve(w0, x, y, margs=()):
         body = make_body(x, y, margs)
@@ -525,8 +590,8 @@ def _build(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: str):
 
 
 @functools.lru_cache(maxsize=256)
-def _cached(problem, opts, N, mesh, axis):
-    return jax.jit(_build(problem, opts, N, mesh, axis))
+def _cached(problem, opts, N, mesh, axis, store=None):
+    return jax.jit(_build(problem, opts, N, mesh, axis, store))
 
 
 def slbfgs(
@@ -538,12 +603,27 @@ def slbfgs(
     mesh=None,
     axis_name: str = "data",
     metric_args: tuple = (),
+    store=None,
 ) -> SolveResult:
     """Run S-LBFGS. With ``mesh`` set, evaluations are explicitly
     batch-sharded (pass ``x``/``y`` sharded via ``parallel.shard_batch`` and
     ``w0`` replicated); see the module docstring for the two sampling
     layouts."""
     opts = opts or SLBFGSOptions()
+    if store is not None:
+        # Out-of-HBM mode: the dataset lives host-side in a ChunkStore and
+        # x/y must be None (see data/outofcore.py). metric_fn would receive
+        # empty x/y placeholders, so it is rejected.
+        if x is not None or y is not None:
+            raise ValueError("pass x=y=None with store= (data lives in the store)")
+        if mesh is not None:
+            raise ValueError("store= (out-of-core) and mesh= are mutually exclusive")
+        if opts.metric_fn is not None:
+            raise ValueError("metric_fn is unsupported with store= "
+                             "(no resident x/y to evaluate it on)")
+        return _cached(problem, opts, store.n, None, axis_name, store)(
+            w0, (), (), ()
+        )
     return _cached(problem, opts, int(x.shape[0]), mesh, axis_name)(
         w0, x, y, tuple(metric_args)
     )
