@@ -270,6 +270,7 @@ def sgd_streaming(
     streamer,
     opts: SGDOptions | None = None,
     steps_per_epoch: int | None = None,
+    full_eval_fn=None,
 ) -> SolveResult:
     """Minibatch SGD fed by a :class:`runtime.streamer.BatchStreamer`.
 
@@ -280,9 +281,21 @@ def sgd_streaming(
     device work) and runs one jitted update per batch: the configuration for
     datasets that should not (or cannot) live in HBM whole.
 
-    Stops after ``opts.epochs`` epochs of the stream. Loss history records
-    the per-batch loss at each epoch's final step (full-dataset evaluation
-    is the caller's choice — the data may not fit on device).
+    Stops after ``opts.epochs`` epochs of the stream. By default the loss
+    history records the per-batch loss at each epoch's final step and the
+    gradient-norm history stays NaN — the data may not fit on device. Pass
+    ``full_eval_fn(w) -> (loss, gnorm)`` to record a *full-dataset* loss and
+    gradient norm at every epoch boundary instead, matching the reference's
+    per-epoch recorder (reference: src/minimizer/s_gd.hpp:108-131) — e.g.
+    built from ``data.outofcore.outofcore_problem`` so the evaluation
+    streams the same host-resident dataset in chunks::
+
+        prob = outofcore_problem(bp, store)
+        def full_eval(w):
+            f, g = prob.value_and_grad(w, ())
+            return f, jnp.linalg.norm(g)
+
+    which makes the streaming path emit a reference-comparable history CSV.
     """
     opts = opts or SGDOptions()
 
@@ -305,6 +318,7 @@ def sgd_streaming(
     lr = jnp.asarray(opts.step_size, dtype=w.dtype)
     b = streamer.batch_size
     loss_h = jnp.full((opts.epochs,), jnp.nan, dtype=w.dtype)
+    gnorm_h = jnp.full((opts.epochs,), jnp.nan, dtype=w.dtype)
     last_loss = jnp.asarray(jnp.nan, dtype=w.dtype)
     cur_epoch = 0
     last_trained = None  # (xb, yb, mask) of the last step taken
@@ -313,7 +327,13 @@ def sgd_streaming(
         if epoch != cur_epoch:
             # The streamer labels every batch with its source epoch — the
             # authoritative boundary for both drop_last modes.
-            loss_h = loss_h.at[cur_epoch].set(last_loss)
+            if full_eval_fn is not None:
+                ef, eg = full_eval_fn(w)
+                loss_h = loss_h.at[cur_epoch].set(ef)
+                gnorm_h = gnorm_h.at[cur_epoch].set(eg)
+                last_loss = jnp.asarray(ef, dtype=w.dtype)
+            else:
+                loss_h = loss_h.at[cur_epoch].set(last_loss)
             cur_epoch = epoch
             if opts.lr_decay_step > 0 and epoch % opts.lr_decay_step == 0:
                 lr = lr * opts.lr_decay
@@ -323,10 +343,13 @@ def sgd_streaming(
         xb_j, yb_j = jnp.asarray(xb), jnp.asarray(yb)
         w, v, last_loss = step(w, v, lr, xb_j, yb_j, mask)
         last_trained = (xb_j, yb_j, mask)
-    xb_j, yb_j, mask = last_trained
-    gnorm = jnp.linalg.norm(problem.grad_masked(w, xb_j, yb_j, mask))
+    if full_eval_fn is not None:
+        gnorm = gnorm_h[opts.epochs - 1]
+    else:
+        xb_j, yb_j, mask = last_trained
+        gnorm = jnp.linalg.norm(problem.grad_masked(w, xb_j, yb_j, mask))
     return SolveResult(
         x=w, n_iters=jnp.int32(opts.epochs), converged=jnp.array(False),
         final_loss=last_loss, final_gnorm=gnorm,
-        loss_history=loss_h, gnorm_history=jnp.full_like(loss_h, jnp.nan),
+        loss_history=loss_h, gnorm_history=gnorm_h,
     )

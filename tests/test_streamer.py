@@ -199,3 +199,47 @@ def test_streamer_concurrent_consumers_deliver_each_batch_once():
     for e in range(epochs):
         ids = sorted(i for ep, ids in popped if ep == e for i in ids)
         assert ids == list(range(n)), f"epoch {e} delivery not a permutation"
+
+
+def test_sgd_streaming_full_eval_hook():
+    """VERDICT r2 item 9: full_eval_fn records a full-dataset loss and
+    gradient norm per epoch (reference recorder semantics, s_gd.hpp:108-131)
+    — here built from the out-of-core chunked evaluator, so the streaming
+    path emits a reference-comparable history without resident data."""
+    from lbfgs_ffnn_tpu.data.outofcore import ChunkStore, outofcore_problem
+    from lbfgs_ffnn_tpu.solvers import SGDOptions
+    from lbfgs_ffnn_tpu.solvers.sgd import sgd_streaming
+    from lbfgs_ffnn_tpu.types import make_batch_problem
+
+    rng = np.random.default_rng(1)
+    n, d = 48, 3
+    w_true = np.array([1.0, -2.0, 0.5])
+    x = rng.normal(size=(n, d))
+    y = (x @ w_true)[:, None]
+
+    bp = make_batch_problem(lambda w, xb, yb: 0.5 * (xb @ w - yb[:, 0]) ** 2)
+    store = ChunkStore(x, y, chunk_rows=16)
+    prob = outofcore_problem(bp, store)
+
+    def full_eval(w):
+        f, g = prob.value_and_grad(w, ())
+        return f, jnp.linalg.norm(g)
+
+    with BatchStreamer(x.astype(np.float64), y.astype(np.float64),
+                       batch_size=16, seed=3) as st:
+        res = sgd_streaming(bp, jnp.zeros(d), st,
+                            SGDOptions(epochs=8, step_size=0.1),
+                            full_eval_fn=full_eval)
+    # every epoch has a FULL loss and gnorm entry...
+    assert np.isfinite(np.asarray(res.loss_history[:8])).all()
+    assert np.isfinite(np.asarray(res.gnorm_history[:8])).all()
+    # ...and the last entry is exactly the full evaluation at the final w
+    f_ref, g_ref = prob.value_and_grad(res.x, ())
+    np.testing.assert_allclose(float(res.loss_history[7]), float(f_ref), rtol=1e-12)
+    np.testing.assert_allclose(
+        float(res.gnorm_history[7]), float(jnp.linalg.norm(g_ref)), rtol=1e-12
+    )
+    np.testing.assert_allclose(float(res.final_loss), float(f_ref), rtol=1e-12)
+    # full-dataset losses decrease on this convex problem
+    lh = np.asarray(res.loss_history[:8])
+    assert lh[-1] < lh[0]
