@@ -270,6 +270,36 @@ def _sharded_ops(
                 in_specs=(P(), P(), P(axis), P(axis), P()), out_specs=(P(), P()),
             )(w_t, w_anchor, x, y, key)
 
+        def epoch_batch_idx(keys):
+            # Global sampling draws from the REPLICATED key, so the one-shot
+            # vmapped draw is identical to the per-step in-loop draw by
+            # construction — the same batched-sampling optimization the
+            # direct path has (measured 3.45 -> 3.03 ms/ep on 1 device),
+            # previously lost in mesh mode (VERDICT r2 item 7).
+            return jax.vmap(
+                lambda k: sample_without_replacement(k, N, b, opts.sampler)
+            )(keys)
+
+        def batch_grads_at(w_t, w_anchor, idx):
+            def local(w_t, w_anchor, xs, ys, idx):
+                pos = idx - lax.axis_index(axis) * n_local
+                valid = (pos >= 0) & (pos < n_local)
+                posc = jnp.clip(pos, 0, n_local - 1)
+                xb = jnp.take(xs, posc, axis=0)
+                yb = jnp.take(ys, posc, axis=0)
+                # same vmapped double gradient as the direct path's
+                # batch_grads_at: both backwards share the masked gather
+                g2 = jax.vmap(
+                    lambda w: jax.grad(_global_batch_loss)(w, xb, yb, valid, b)
+                )(jnp.stack([w_t, w_anchor]))
+                return g2[0], g2[1]
+
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(), P(), P(axis), P(axis), P()),
+                out_specs=(P(), P()),
+            )(w_t, w_anchor, x, y, idx)
+
         def hvp(u, s_vec, key):
             def local(u, s_vec, xs, ys, key):
                 xh, yh, mask = _global_take(xs, ys, key, b_h)
@@ -285,7 +315,8 @@ def _sharded_ops(
                 in_specs=(P(), P(), P(axis), P(axis), P()), out_specs=P(),
             )(u, s_vec, x, y, key)
 
-        return _Ops(full_grad, full_loss, batch_grads, hvp)
+        return _Ops(full_grad, full_loss, batch_grads, hvp,
+                    epoch_batch_idx, batch_grads_at)
 
     if opts.sampling != "local":
         raise ValueError(f"unknown sampling {opts.sampling!r}")
