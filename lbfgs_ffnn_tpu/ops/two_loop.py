@@ -246,6 +246,173 @@ def two_loop_sharded(
     )(v, S, Y, rho, head, count)
 
 
+class GramRing(NamedTuple):
+    """A curvature ring plus the incrementally-maintained Gram data the
+    compact two-loop needs: ``M[i, j] = s_i . y_j`` over PHYSICAL ring slots
+    and ``yy[i] = y_i . y_i`` per slot (both replicated under sharding —
+    O(m^2) scalars). Maintaining M across pushes cuts the compact direction
+    to 4mn history traffic (c/q/d/r sweeps only) and — in the sharded form —
+    to TWO m-vector psums per direction instead of the loop form's ~4m
+    scalar psums (VERDICT r2 item 8; BASELINE.json's "curvature dot-products
+    psum over ICI" done right). Entries for invalid slots are stale garbage,
+    masked by ``count`` exactly like the ring rows themselves.
+    """
+
+    ring: RingState
+    M: jax.Array   # (m, m) physical-slot Gram
+    yy: jax.Array  # (m,)
+
+
+def gram_empty(m: int, n: int, dtype=jnp.float32) -> GramRing:
+    return GramRing(
+        ring=empty_history_state(m, n, dtype),
+        M=jnp.zeros((m, m), dtype=dtype),
+        yy=jnp.zeros((m,), dtype=dtype),
+    )
+
+
+def gram_push(gr: GramRing, s: jax.Array, y: jax.Array, rho: jax.Array, accept) -> GramRing:
+    """Ring push + incremental Gram update.
+
+    The new slot's row (``s_new . y_j``) and column (``s_i . y_new``) are two
+    (m, n) GEMVs over the post-push history — 2mn traffic, the same cost the
+    per-call compact form pays to rebuild M from scratch, but paid once per
+    *push* instead of once per *direction* (directions can outnumber pushes;
+    a rejected pair costs nothing). Under GSPMD with the ring sharded on its
+    tile-row axis, XLA partitions the GEMVs and all-reduces the (m,)
+    results automatically.
+    """
+    head = gr.ring.head  # slot the push writes
+    ring = ring_push(gr.ring, s, y, rho, accept)
+    n_pad = ring_n_pad(ring)
+    m = ring.S.shape[0]
+    s_r = _pad_row(s, n_pad)
+    y_r = _pad_row(y, n_pad)
+    # Post-push history: slot `head` already holds (s_new, y_new), so the
+    # row/col GEMVs cover the diagonal entry s_new . y_new consistently.
+    row = jnp.einsum("mrk,rk->m", ring.Y, s_r)   # s_new . y_j
+    col = jnp.einsum("mrk,rk->m", ring.S, y_r)   # s_i . y_new
+    M = jnp.where(
+        accept,
+        gr.M.at[head, :].set(row).at[:, head].set(col),
+        gr.M,
+    )
+    yy = jnp.where(
+        accept, gr.yy.at[head].set(jnp.vdot(y_r, y_r)), gr.yy
+    )
+    return GramRing(ring=ring, M=M, yy=yy)
+
+
+def gram_reset(gr: GramRing, do_reset) -> GramRing:
+    """Drop all pairs (stale M/yy entries are masked by count)."""
+    return gr._replace(ring=ring_reset(gr.ring, do_reset))
+
+
+def _compact_recurrences(c, d_fn, Ml, rhol, valid, count, yy_last, dtype,
+                         clamp_gamma, gamma_min, gamma_max):
+    """The O(m^2) scalar core of the compact form, shared by the dense and
+    sharded variants. ``d_fn(gamma, a)`` returns the forward-pass GEMV
+    ``d_l = y_l . (gamma * (v - a @ Y))`` — supplied by the caller because
+    its reduction is layout-dependent (local vdot vs psum)."""
+    m = Ml.shape[0]
+    li = jnp.arange(m)
+
+    def bwd(t, a):
+        l = m - 1 - t
+        mask_newer = (li > l) & valid
+        acc = jnp.sum(jnp.where(mask_newer, Ml[l] * a, 0.0))
+        a_l = jnp.where(valid[l], rhol[l] * (c[l] - acc), 0.0)
+        return a.at[l].set(a_l)
+
+    a = lax.fori_loop(0, m, bwd, jnp.zeros((m,), dtype=dtype))
+
+    last = jnp.maximum(count - 1, 0)
+    ys = Ml[last, last]
+    yy = yy_last
+    if clamp_gamma:
+        gamma = jnp.where(jnp.abs(yy) < 1e-12, jnp.ones_like(ys),
+                          ys / jnp.where(yy == 0, 1.0, yy))
+        gamma = jnp.clip(gamma, gamma_min, gamma_max)
+    else:
+        gamma = jnp.where(yy > 0, ys / jnp.where(yy == 0, 1.0, yy),
+                          jnp.ones_like(ys))
+    gamma = jnp.where(count > 0, gamma, jnp.ones_like(gamma))
+
+    d = d_fn(gamma, a)
+
+    def fwd(l, b):
+        mask_older = (li < l) & valid
+        acc = jnp.sum(jnp.where(mask_older, Ml[:, l] * (a - b), 0.0))
+        b_l = jnp.where(valid[l], rhol[l] * (d[l] + acc), 0.0)
+        return b.at[l].set(b_l)
+
+    b = lax.fori_loop(0, m, fwd, jnp.zeros((m,), dtype=dtype))
+    return a, b, gamma
+
+
+def two_loop_sharded_compact(
+    v: jax.Array,
+    gr: GramRing,
+    mesh,
+    axis_name: str = "data",
+    *,
+    clamp_gamma: bool = False,
+    gamma_min: float = 1e-6,
+    gamma_max: float = 1e6,
+) -> jax.Array:
+    """Parameter-sharded compact two-loop using the maintained Gram matrix:
+    collective-lean — exactly TWO psums per direction (the (m,) partial-dot
+    vectors ``c = S . v`` and ``d = Y . z0``), vs ~4m scalar psums in
+    :func:`two_loop_sharded`. On a real pod the scalar psums are pure ICI
+    latency; the collective count is pinned by a jaxpr assertion in
+    tests/test_two_loop.py.
+
+    Contract matches :func:`two_loop_sharded`: ``v`` padded and sharded on
+    its axis, ring S/Y sharded on the tile-row axis, everything else
+    (rho/head/count/M/yy) replicated. Returns the sharded H_k @ v.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    S, Y, rho, head, count = gr.ring
+    m = S.shape[0]
+
+    def local(v, S, Y, rho, head, count, M, yy):
+        li = jnp.arange(m)
+        phys = (head - count + li) % m
+        valid = li < count
+        rows = S.shape[1]  # local tile rows
+        S2 = S.reshape(m, rows * 128)
+        Y2 = Y.reshape(m, rows * 128)
+        Sl = S2[phys]
+        Yl = Y2[phys]
+        rhol = jnp.where(valid, rho[phys], 0.0)
+        Ml = M[phys][:, phys]          # logical-order Gram (replicated)
+        yy_last = yy[phys[jnp.maximum(count - 1, 0)]]
+
+        c = lax.psum(Sl @ v, axis_name)            # collective 1
+
+        z0_box = {}
+
+        def d_fn(gamma, a):
+            q = v - a @ Yl
+            z0 = gamma * q
+            z0_box["z0"] = z0
+            return lax.psum(Yl @ z0, axis_name)    # collective 2
+
+        a, b, gamma = _compact_recurrences(
+            c, d_fn, Ml, rhol, valid, count, yy_last, v.dtype,
+            clamp_gamma, gamma_min, gamma_max,
+        )
+        return z0_box["z0"] + (a - b) @ Sl
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name), P(None, axis_name, None),
+                  P(None, axis_name, None), P(), P(), P(), P(), P()),
+        out_specs=P(axis_name),
+    )(v, S, Y, rho, head, count, gr.M, gr.yy)
+
+
 def two_loop_compact(
     v: jax.Array,
     hist: RingState,

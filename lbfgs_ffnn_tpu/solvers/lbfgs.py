@@ -39,7 +39,10 @@ from lbfgs_ffnn_tpu.ops.linesearch import (
     armijo_quad_line_search,
     wolfe_line_search,
 )
-from lbfgs_ffnn_tpu.ops.two_loop import RingState, empty_history_state, ring_push, ring_reset, two_loop
+from lbfgs_ffnn_tpu.ops.two_loop import (
+    GramRing, RingState, empty_history_state, gram_empty, gram_push,
+    gram_reset, ring_push, ring_reset, two_loop,
+)
 from lbfgs_ffnn_tpu.solvers.common import (
     cached_jit_solve, drive_chunks, finalize, init_history, record,
 )
@@ -79,7 +82,10 @@ class LBFGSOptions(NamedTuple):
                                 # kernel; warns + falls back to the loop
                                 # form above its VMEM budget, which runs at
                                 # the HBM bound there) | "compact" (GEMM
-                                # form — see ops.two_loop.two_loop_compact)
+                                # form — see ops.two_loop.two_loop_compact;
+                                # under mesh= this selects the incremental-
+                                # Gram collective-lean direction: 2 m-vector
+                                # psums instead of ~4m scalar ones)
     ls_spec_k: int = 4  # armijo_batched: candidates per batched forward
     prefix_vag: bool = True  # use LinePrefix.vag_restrict for the accepted
                              # point's value_and_grad (skips recomputing the
@@ -144,7 +150,8 @@ def _use_prefix(problem: Problem, opts: LBFGSOptions) -> bool:
     )
 
 
-def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux) -> _State:
+def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux,
+                empty_hist=empty_history_state) -> _State:
     f0, g0 = problem.value_and_grad(x0, aux)
     loss_h, gnorm_h = init_history(opts.max_iters, x0.dtype)
     return _State(
@@ -153,7 +160,7 @@ def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux) -> _State:
         f=f0,
         g=g0,
         gnorm=jnp.linalg.norm(g0),
-        hist=empty_history_state(opts.m, x0.shape[0], x0.dtype),
+        hist=empty_hist(opts.m, x0.shape[0], x0.dtype),
         loss_h=loss_h,
         gnorm_h=gnorm_h,
         nf=jnp.int32(1),
@@ -169,7 +176,8 @@ def _not_done(s: _State, opts: LBFGSOptions):
     return (s.k < opts.max_iters) & (s.gnorm >= opts.tol)
 
 
-def _make_body(problem: Problem, opts: LBFGSOptions, direction=None):
+def _make_body(problem: Problem, opts: LBFGSOptions, direction=None,
+               push=ring_push, reset=ring_reset):
     if opts.line_search not in ("wolfe", "armijo", "armijo_batched"):
         raise ValueError(f"unknown line_search {opts.line_search!r}")
     if opts.curvature_pairs not in ("grad_diff", "hvp"):
@@ -209,7 +217,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None):
             nondescent = dg0 >= 0
             p = jnp.where(nondescent, -s.g, p)
             dg0 = jnp.where(nondescent, -jnp.vdot(s.g, s.g), dg0)
-            hist = ring_reset(hist, nondescent)
+            hist = reset(hist, nondescent)
 
             alpha0 = jnp.where(
                 s.k == 0,
@@ -238,7 +246,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None):
                 )
             alpha, f_new, g_new = ls.alpha, ls.f_new, ls.g_new
             # History reset on line-search failure (cuda/lbfgs.cuh:147).
-            hist = ring_reset(hist, ~ls.ok)
+            hist = reset(hist, ~ls.ok)
             if lean or opts.line_search == "armijo_batched":
                 # value-only trials + one value_and_grad
                 nf_add, ng_add = ls.n_trials + 1, jnp.int32(1)
@@ -297,7 +305,7 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None):
             gate = opts.curvature_eps
         accept = ys > gate
         rho = jnp.where(accept, 1.0 / jnp.where(ys == 0, 1.0, ys), 0.0)
-        hist = ring_push(hist, step, y, rho, accept)
+        hist = push(hist, step, y, rho, accept)
 
         gnorm_new = jnp.linalg.norm(g_new)
         loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
@@ -356,19 +364,35 @@ def _sharded_env(problem: Problem, opts: LBFGSOptions, mesh, axis: str,
     exactly the long-run scenario that needs resume)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    from lbfgs_ffnn_tpu.ops.two_loop import _pad_to, _round_up, two_loop_sharded
+    from lbfgs_ffnn_tpu.ops.two_loop import (
+        _pad_to, _round_up, two_loop_sharded, two_loop_sharded_compact,
+    )
 
     if opts.two_loop_impl == "pallas":
         raise ValueError(
             "two_loop_impl='pallas' is a single-device kernel; the mesh mode "
-            "uses the psum-reduced sharded recursion (two_loop_impl='xla')"
+            "uses the psum-reduced sharded recursion (two_loop_impl='xla') "
+            "or the collective-lean Gram form (two_loop_impl='compact')"
         )
     ndev = mesh.shape[axis]
     vec_s = NamedSharding(mesh, P(axis))
     row_s = NamedSharding(mesh, P(None, axis, None))
 
-    def direction(g, hist):
-        return -two_loop_sharded(g, hist, mesh, axis)
+    # "compact" under a mesh = the incremental-Gram form: the solver state
+    # carries a GramRing (ring + replicated M = S.Y^T and per-slot y.y,
+    # updated at each push) and the direction costs exactly two m-vector
+    # psums instead of ~4m scalar ones (ops.two_loop.two_loop_sharded_compact).
+    compact = opts.two_loop_impl == "compact"
+    if compact:
+        def direction(g, hist):
+            return -two_loop_sharded_compact(g, hist, mesh, axis)
+
+        push, reset, empty_hist = gram_push, gram_reset, gram_empty
+    else:
+        def direction(g, hist):
+            return -two_loop_sharded(g, hist, mesh, axis)
+
+        push, reset, empty_hist = ring_push, ring_reset, empty_history_state
 
     n_pad = _round_up(n)
     # The ring is sharded over its TILE-ROW axis (rows = n_pad/128), so
@@ -429,21 +453,21 @@ def _sharded_env(problem: Problem, opts: LBFGSOptions, mesh, axis: str,
 
     pp = Problem(fun=fun_pad, grad=grad_pad, value_and_grad=vag_pad,
                  line_fun=line_fun_pad, line_prefix=lp_pad)
-    body = _make_body(pp, opts, direction=direction)
+    body = _make_body(pp, opts, direction=direction, push=push, reset=reset)
+
+    def constrain_hist(h):
+        row = lambda a: lax.with_sharding_constraint(a, row_s)
+        if isinstance(h, GramRing):  # M/yy stay replicated
+            return h._replace(ring=h.ring._replace(S=row(h.ring.S), Y=row(h.ring.Y)))
+        return h._replace(S=row(h.S), Y=row(h.Y))
 
     def constrain(s: _State) -> _State:
         sh = lambda a: lax.with_sharding_constraint(a, vec_s)
-        return s._replace(
-            x=sh(s.x), g=sh(s.g),
-            hist=s.hist._replace(
-                S=lax.with_sharding_constraint(s.hist.S, row_s),
-                Y=lax.with_sharding_constraint(s.hist.Y, row_s),
-            ),
-        )
+        return s._replace(x=sh(s.x), g=sh(s.g), hist=constrain_hist(s.hist))
 
     def init(x0, aux):
         x0p = lax.with_sharding_constraint(_pad_to(x0, n_pad), vec_s)
-        return constrain(_init_state(pp, opts, x0p, aux))
+        return constrain(_init_state(pp, opts, x0p, aux, empty_hist=empty_hist))
 
     return _ShardedEnv(pp=pp, body=body, constrain=constrain, init=init,
                        n=n, n_pad=n_pad)

@@ -134,3 +134,39 @@ def test_compact_matches_loop_form():
                 np.asarray(two_loop(v, hist, clamp_gamma=cg)),
                 rtol=1e-11, atol=1e-11,
             )
+
+
+def test_gram_push_maintains_exact_gram():
+    """GramRing's incremental M == the fresh S.Y^T Gram (physical slots)
+    through fills, wrap-around, and a rejected push; yy likewise."""
+    from lbfgs_ffnn_tpu.ops.two_loop import GramRing, gram_empty, gram_push
+
+    rng = np.random.default_rng(11)
+    n, m = 300, 4
+    gr = gram_empty(m, n, jnp.float64)
+    pushes = 0
+    for t in range(9):
+        s = rng.normal(size=n)
+        y = rng.normal(size=n) + 0.5 * s
+        accept = t != 3  # one rejected push must be a Gram no-op
+        gr = gram_push(
+            gr, jnp.asarray(s), jnp.asarray(y),
+            1.0 / jnp.vdot(jnp.asarray(y), jnp.asarray(s)), jnp.array(accept)
+        )
+        pushes += accept
+        # fresh Gram over the PHYSICAL slots (invalid slots are zero rows,
+        # so their fresh entries are 0; M holds garbage there — mask both)
+        S2 = np.asarray(gr.ring.S.reshape(m, -1))
+        Y2 = np.asarray(gr.ring.Y.reshape(m, -1))
+        fresh = S2 @ Y2.T
+        cnt = int(gr.ring.count)
+        head = int(gr.ring.head)
+        valid_phys = [(head - cnt + li) % m for li in range(cnt)]
+        got = np.asarray(gr.M)
+        for i in valid_phys:
+            for j in valid_phys:
+                np.testing.assert_allclose(got[i, j], fresh[i, j], rtol=1e-12)
+            np.testing.assert_allclose(
+                float(gr.yy[i]), float(Y2[i] @ Y2[i]), rtol=1e-12
+            )
+    assert int(gr.ring.count) == m and pushes > m  # wrapped
