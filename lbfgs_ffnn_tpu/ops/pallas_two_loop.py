@@ -42,6 +42,12 @@ from lbfgs_ffnn_tpu.ops.two_loop import RingState, two_loop
 # 6 per-row VMEM buffers; keep total under ~12 MB of the ~16 MB VMEM.
 _VMEM_ROW_LIMIT = 512 * 1024  # f32 elements per row
 
+# Rows-blocked streaming kernel (n above _VMEM_ROW_LIMIT): only the working
+# vector is VMEM-resident; (s_i, y_i) rows stream in tile-row CHUNKS, so the
+# budget is one padded vector (~n_pad * 4 B) + two small chunk buffers.
+_BLOCKED_ROW_LIMIT = 2_500_000  # f32 elements (~10 MB working vector)
+_BLOCK_ROWS = 512               # tile-rows per DMA stage (256 KB f32)
+
 # When the whole (S, Y) history fits comfortably in VMEM, skip per-pair
 # streaming entirely: two bulk DMAs bring the stacked arrays on-chip and the
 # 2*count sequential stages run with zero DMA latency in the loop. For small
@@ -195,6 +201,212 @@ def _kernel_resident(meta_ref, rho_ref, v_ref, s_hbm, y_hbm, out_ref,
     lax.fori_loop(0, count, fwd, 0)
 
 
+def _kernel_blocked(meta_ref, rho_ref, gamma_ref, v_hbm, s_hbm, y_hbm,
+                    out_ref, buf, acc_ref, coef_ref, alphas_ref, sems, v_sem,
+                    *, m: int, rows: int, cblk: int, nblk: int):
+    """Rows-blocked streaming variant for n above the whole-row VMEM budget.
+
+    Only the working vector (tile-padded to ``nblk*cblk`` rows) is
+    VMEM-resident; (s_i, y_i) history rows stream in ``cblk``-tile-row
+    chunks. The recursion is flattened into one pipeline of
+    ``4*count*nblk`` stages — (segment, phase, chunk) with segment =
+    bwd pairs newest->oldest then fwd pairs oldest->newest, phase 0 = the
+    dot sweep, phase 1 = the axpy sweep — and stage t+1's chunk DMA is
+    issued before stage t's compute, so the DMA queue never drains at
+    phase or pair boundaries (a bubble per phase would cost ~20-30% at
+    n=1M). gamma arrives precomputed (an O(n) XLA reduction outside —
+    ~1/(2m) of the kernel's 4mn traffic) so the newest pair's rows are not
+    double-fetched.
+    """
+    head = meta_ref[0]
+    count = meta_ref[1]
+    tail = rows - (nblk - 1) * cblk  # static, in (0, cblk]
+
+    def decode(t):
+        seg = t // (2 * nblk)
+        ph = (t // nblk) % 2
+        c = t % nblk
+        bwd = seg < count
+        # physical ring slot: bwd pair j=seg is newest-first; fwd pair
+        # li=seg-count is oldest-first
+        i = jnp.where(
+            bwd, (head - 1 - seg) % m, (head - count + (seg - count)) % m
+        )
+        use_s = jnp.logical_xor(bwd, ph == 1)  # bwd: S on dot; fwd: S on axpy
+        return seg, ph, c, i, bwd, use_s
+
+    def _dma(slot, src, c):
+        is_last = c == nblk - 1
+
+        def chunk_copy(full):
+            size = cblk if full else tail
+            return pltpu.make_async_copy(
+                src.at[pl.ds(c * cblk, size)],
+                buf.at[slot, pl.ds(0, size)],
+                sems.at[slot],
+            )
+
+        return chunk_copy, is_last
+
+    def start_fetch(slot, t):
+        _, _, c, i, _, use_s = decode(t)
+        for sel, src in ((use_s, s_hbm), (~use_s, y_hbm)):
+            chunk_copy, is_last = _dma(slot, src.at[i], c)
+            if tail == cblk:
+                @pl.when(sel)
+                def _():
+                    chunk_copy(True).start()
+            else:
+                @pl.when(sel & ~is_last)
+                def _():
+                    chunk_copy(True).start()
+
+                @pl.when(sel & is_last)
+                def _():
+                    chunk_copy(False).start()
+
+    def wait_fetch(slot, t):
+        _, _, c, i, _, use_s = decode(t)
+        for sel, src in ((use_s, s_hbm), (~use_s, y_hbm)):
+            chunk_copy, is_last = _dma(slot, src.at[i], c)
+            if tail == cblk:
+                @pl.when(sel)
+                def _():
+                    chunk_copy(True).wait()
+            else:
+                @pl.when(sel & ~is_last)
+                def _():
+                    chunk_copy(True).wait()
+
+                @pl.when(sel & is_last)
+                def _():
+                    chunk_copy(False).wait()
+                    # tail rows beyond the history are stale from earlier
+                    # full chunks: zero them so unmasked full-width compute
+                    # stays exact (the working vector's pad rows are zero)
+                    buf[slot, pl.ds(tail, cblk - tail)] = jnp.zeros(
+                        (cblk - tail, 128), buf.dtype
+                    )
+
+    # ---- init: DMA v into the working vector; zero the pad rows ----------
+    vcp = pltpu.make_async_copy(v_hbm, out_ref.at[pl.ds(0, rows)], v_sem)
+    vcp.start()
+    if nblk * cblk > rows:
+        out_ref[pl.ds(rows, nblk * cblk - rows)] = jnp.zeros(
+            (nblk * cblk - rows, 128), out_ref.dtype
+        )
+    acc_ref[0] = jnp.float32(0.0)
+    vcp.wait()
+
+    total = count * 4 * nblk
+
+    @pl.when(total > 0)
+    def _():
+        start_fetch(0, 0)
+
+    def stage(t, carry):
+        cur = t % 2
+        nxt = (t + 1) % 2
+
+        @pl.when(t + 1 < total)
+        def _():
+            start_fetch(nxt, t + 1)
+
+        wait_fetch(cur, t)
+        seg, ph, c, i, bwd, _ = decode(t)
+        chunk = buf[cur]
+        qc = out_ref[pl.ds(c * cblk, cblk)]
+
+        @pl.when(ph == 0)
+        def _():
+            acc_ref[0] = acc_ref[0] + jnp.sum(chunk * qc)
+
+        last_c = c == nblk - 1
+
+        @pl.when((ph == 0) & last_c & bwd)
+        def _():
+            a = rho_ref[i] * acc_ref[0]
+            alphas_ref[count - 1 - seg] = a
+            coef_ref[0] = -a
+            acc_ref[0] = jnp.float32(0.0)
+
+        @pl.when((ph == 0) & last_c & ~bwd)
+        def _():
+            b = rho_ref[i] * acc_ref[0]
+            coef_ref[0] = alphas_ref[seg - count] - b
+            acc_ref[0] = jnp.float32(0.0)
+
+        @pl.when(ph == 1)
+        def _():
+            out_ref[pl.ds(c * cblk, cblk)] = qc + coef_ref[0] * chunk
+
+        # end of the last backward segment: scale by gamma (z = gamma * q)
+        @pl.when(t == count * 2 * nblk - 1)
+        def _():
+            out_ref[:] = gamma_ref[0] * out_ref[:]
+
+        return carry
+
+    lax.fori_loop(0, total, stage, 0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("clamp_gamma", "gamma_min", "gamma_max", "interpret",
+                     "block_rows"),
+)
+def _two_loop_pallas_blocked(
+    v2, S3, Y3, rho, head, count,
+    clamp_gamma: bool, gamma_min: float, gamma_max: float, interpret: bool,
+    block_rows: int = _BLOCK_ROWS,
+):
+    m, rows, _ = S3.shape
+    n_pad = rows * 128
+    cblk = min(block_rows, rows)
+    nblk = -(-rows // cblk)
+    meta = jnp.stack([head.astype(jnp.int32), count.astype(jnp.int32)])
+
+    # gamma outside the kernel: one O(n) XLA pass over the newest pair
+    # (fused reads), so the pipeline never needs a pair's rows twice.
+    last = (head - 1) % m
+    ys = jnp.vdot(S3[last], Y3[last])
+    yy = jnp.vdot(Y3[last], Y3[last])
+    if clamp_gamma:
+        gamma = jnp.where(jnp.abs(yy) < 1e-12, 1.0,
+                          ys / jnp.where(yy == 0, 1.0, yy))
+        gamma = jnp.clip(gamma, gamma_min, gamma_max)
+    else:
+        gamma = jnp.where(yy > 0, ys / jnp.where(yy == 0, 1.0, yy), 1.0)
+    gamma = jnp.where(count > 0, gamma, 1.0).astype(v2.dtype)[None]
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_blocked, m=m, rows=rows, cblk=cblk, nblk=nblk
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblk * cblk, 128), v2.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # meta
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # rho
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # gamma
+            pl.BlockSpec(memory_space=pl.ANY),       # v (DMA'd into out)
+            pl.BlockSpec(memory_space=pl.ANY),       # S
+            pl.BlockSpec(memory_space=pl.ANY),       # Y
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, cblk, 128), v2.dtype),    # chunk double buffer
+            pltpu.SMEM((1,), v2.dtype),              # dot accumulator
+            pltpu.SMEM((1,), v2.dtype),              # current axpy coefficient
+            pltpu.SMEM((m,), v2.dtype),              # alphas
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=False),
+    )(meta, rho, gamma, v2, S3, Y3)
+    return out.reshape(nblk * cblk * 128)[:n_pad]
+
+
 @functools.partial(
     jax.jit, static_argnames=("clamp_gamma", "gamma_min", "gamma_max", "interpret")
 )
@@ -266,14 +478,16 @@ def pallas_dispatch(n_pad: int, m: int, dtype) -> tuple[str, str]:
     """
     if jnp.dtype(dtype) != jnp.float32:
         return "xla", f"dtype {jnp.dtype(dtype).name} != float32"
-    if n_pad > _VMEM_ROW_LIMIT:
+    if n_pad > _BLOCKED_ROW_LIMIT:
         return (
             "xla",
-            f"padded row length {n_pad} > VMEM budget {_VMEM_ROW_LIMIT} "
-            "f32 elements (6 row buffers must fit in ~16 MB VMEM); the XLA "
-            "loop form runs at the HBM bound there (measured n=1M m=50: "
-            "loop 1.37 ms vs GEMM-form compact 1.53 ms)",
+            f"padded row length {n_pad} > blocked-kernel budget "
+            f"{_BLOCKED_ROW_LIMIT} f32 elements (the VMEM-resident working "
+            "vector no longer fits); the XLA loop form runs near the HBM "
+            "bound there",
         )
+    if n_pad > _VMEM_ROW_LIMIT:
+        return "pallas-blocked", ""
     if m * n_pad <= _VMEM_RESIDENT_LIMIT:
         return "pallas-resident", ""
     return "pallas-streaming", ""
@@ -319,8 +533,14 @@ def two_loop_pallas(
     v2 = jnp.zeros((n_pad,), dtype=v.dtype).at[:n].set(v).reshape(rows, 128) \
         if n != n_pad else v.reshape(rows, 128)
     interpret = jax.default_backend() != "tpu"
-    out = _two_loop_pallas_padded(
-        v2, hist.S, hist.Y, hist.rho, hist.head, hist.count,
-        clamp_gamma, gamma_min, gamma_max, interpret,
-    )
+    if impl == "pallas-blocked":
+        out = _two_loop_pallas_blocked(
+            v2, hist.S, hist.Y, hist.rho, hist.head, hist.count,
+            clamp_gamma, gamma_min, gamma_max, interpret,
+        )
+    else:
+        out = _two_loop_pallas_padded(
+            v2, hist.S, hist.Y, hist.rho, hist.head, hist.count,
+            clamp_gamma, gamma_min, gamma_max, interpret,
+        )
     return out[:n]

@@ -103,7 +103,8 @@ def test_pallas_streaming_path_matches_f64_oracle(m, k):
 
 def test_pallas_dispatch_reports_impl():
     from lbfgs_ffnn_tpu.ops.pallas_two_loop import (
-        _VMEM_RESIDENT_LIMIT, _VMEM_ROW_LIMIT, pallas_dispatch,
+        _BLOCKED_ROW_LIMIT, _VMEM_RESIDENT_LIMIT, _VMEM_ROW_LIMIT,
+        pallas_dispatch,
     )
 
     impl, _ = pallas_dispatch(1024, 4, jnp.float32)
@@ -111,22 +112,27 @@ def test_pallas_dispatch_reports_impl():
     impl, _ = pallas_dispatch(_VMEM_ROW_LIMIT, 4, jnp.float32)  # 4x512k > resident limit
     assert impl == "pallas-streaming"
     assert _VMEM_ROW_LIMIT * 4 > _VMEM_RESIDENT_LIMIT
-    impl, reason = pallas_dispatch(_VMEM_ROW_LIMIT + 1024, 4, jnp.float32)
-    assert impl == "xla" and "VMEM" in reason
+    # past the whole-row budget: the rows-blocked kernel takes over
+    impl, _ = pallas_dispatch(_VMEM_ROW_LIMIT + 1024, 4, jnp.float32)
+    assert impl == "pallas-blocked"
+    impl, _ = pallas_dispatch(1_000_448, 50, jnp.float32)  # the n=1M regime
+    assert impl == "pallas-blocked"
+    impl, reason = pallas_dispatch(_BLOCKED_ROW_LIMIT + 1024, 4, jnp.float32)
+    assert impl == "xla" and "blocked" in reason
     impl, reason = pallas_dispatch(1024, 4, jnp.float64)
     assert impl == "xla" and "dtype" in reason
 
 
 def test_pallas_fallback_beyond_vmem_budget_warns_and_is_correct():
-    """A >512k-param row exceeds the kernel's VMEM budget: the wrapper must
-    fall back to XLA (correctly) and say so — no silent policy substitution
-    when a solver was configured with two_loop_impl='pallas'
+    """A row length past even the BLOCKED kernel's working-vector budget
+    must fall back to XLA (correctly) and say so — no silent policy
+    substitution when a solver was configured with two_loop_impl='pallas'
     (VERDICT round 1, item 8)."""
     import warnings as _w
 
     from lbfgs_ffnn_tpu.ops import pallas_two_loop as ptl
 
-    n = ptl._VMEM_ROW_LIMIT + 1024  # first padded size past the budget
+    n = ptl._BLOCKED_ROW_LIMIT + 1024  # first padded size past the budget
     m, k = 3, 2
     hist = make_history(m, n, k, seed=7)
     v = jnp.asarray(np.random.default_rng(8).normal(size=n), dtype=jnp.float32)
@@ -142,7 +148,8 @@ def test_pallas_fallback_beyond_vmem_budget_warns_and_is_correct():
             hist,
         )
         oracle = np.asarray(two_loop(v.astype(jnp.float64), hist64))
-        np.testing.assert_allclose(np.asarray(r), oracle, rtol=2e-4, atol=2e-4)
+        # f32 accumulation error at n=2.5M (dots of magnitude ~sqrt(n))
+        np.testing.assert_allclose(np.asarray(r), oracle, rtol=5e-3, atol=5e-3)
     else:
         np.testing.assert_allclose(
             np.asarray(r), np.asarray(two_loop(v, hist)), rtol=5e-3, atol=5e-3
@@ -151,3 +158,55 @@ def test_pallas_fallback_beyond_vmem_budget_warns_and_is_correct():
     with _w.catch_warnings():
         _w.simplefilter("error")
         two_loop_pallas(v, hist)
+
+
+@pytest.mark.parametrize("m,k,n,blk", [
+    (5, 0, 3000, 8),    # empty history
+    (5, 3, 3000, 8),    # partial fill, even chunks
+    (4, 9, 3000, 8),    # wrapped ring
+    (5, 4, 3000, 10),   # ragged tail chunk (rows=24, cblk=10, tail=4)
+])
+def test_pallas_blocked_kernel_matches_xla(m, k, n, blk):
+    """Rows-blocked streaming kernel (VERDICT r2 item 2), forced at small n
+    via a tiny block size: both gamma policies, ragged tails, ring wrap."""
+    from lbfgs_ffnn_tpu.ops.pallas_two_loop import _two_loop_pallas_blocked
+
+    hist = make_history(m, n, k, seed=m + k)
+    v = jnp.asarray(np.random.default_rng(1).normal(size=n), dtype=jnp.float32)
+    rows = hist.S.shape[1]
+    n_pad = rows * 128
+    v2 = jnp.zeros((n_pad,), jnp.float32).at[:n].set(v).reshape(rows, 128)
+    interpret = jax.default_backend() != "tpu"
+    for cg in (False, True):
+        out = _two_loop_pallas_blocked(
+            v2, hist.S, hist.Y, hist.rho, hist.head, hist.count,
+            cg, 1e-6, 1e6, interpret, blk,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out[:n]), np.asarray(two_loop(v, hist, clamp_gamma=cg)),
+            rtol=3e-5, atol=3e-5,
+        )
+
+
+def test_pallas_blocked_path_matches_f64_oracle():
+    """The wrapper dispatches the >512k regime to the blocked kernel; judge
+    it against an f64 oracle at a real above-budget size."""
+    from lbfgs_ffnn_tpu.ops import pallas_two_loop as mod
+
+    if not jax.config.jax_enable_x64:
+        pytest.skip("f64 oracle needs x64")
+    n = mod._VMEM_ROW_LIMIT + 1024  # 525k params: past the whole-row budget
+    m, k = 3, 2
+    assert mod.pallas_dispatch(n, m, jnp.float32)[0] == "pallas-blocked"
+    hist = make_history(m, n, k, seed=9)
+    v = jnp.asarray(np.random.default_rng(10).normal(size=n), dtype=jnp.float32)
+    hist64 = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.float64) if a.dtype == jnp.float32 else a, hist
+    )
+    oracle = np.asarray(two_loop(v.astype(jnp.float64), hist64))
+    r = np.asarray(two_loop_pallas(v, hist))
+    # chunk-summed f32 dots land at the same accuracy as the XLA f32 loop
+    # at this size (measured: both max-abs ~3.7e-4 vs the oracle)
+    np.testing.assert_allclose(r, oracle, atol=1e-3, rtol=1e-3)
+    r_xla = np.asarray(two_loop(v, hist))
+    assert np.abs(r - oracle).max() < 2.0 * max(np.abs(r_xla - oracle).max(), 1e-6)
