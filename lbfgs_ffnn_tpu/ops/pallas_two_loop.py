@@ -22,8 +22,11 @@ the kernel is HBM-bandwidth-bound: ~4*count*n*4 bytes per call, ~1.1 us per
 (pair, pass) stage at v5e's ~819 GB/s for n~100k — versus the reference's
 per-launch overhead alone of ~10-20 us.
 
-VMEM budget: 6 row buffers (q, out, 2x s, 2x y) => fits n up to ~500k f32
-params; the wrapper falls back to the XLA implementation above that.
+Three variants by size: whole-history VMEM-resident (small m*n), row
+streaming with 6 whole-row buffers (n up to ~500k f32), and rows-BLOCKED
+streaming (n up to ~2.5M: only the working vector stays VMEM-resident and
+history rows arrive in tile-row chunks through a stage pipeline). The
+wrapper falls back to the XLA implementation above the blocked budget.
 """
 
 from __future__ import annotations
@@ -39,14 +42,31 @@ from jax.experimental.pallas import tpu as pltpu
 
 from lbfgs_ffnn_tpu.ops.two_loop import RingState, two_loop
 
-# 6 per-row VMEM buffers; keep total under ~12 MB of the ~16 MB VMEM.
-_VMEM_ROW_LIMIT = 512 * 1024  # f32 elements per row
+# Streaming variant VMEM budget: 3 f32 rows (v in, out, q scratch) + 4
+# pair-dtype rows (s/y double buffers). Expressed in BYTES so a narrow
+# pair_dtype (bfloat16 ring) extends the reach: the f32 cutoff stays at
+# the round-2 value of 512k params/row; bf16 pairs reach ~716k.
+_VMEM_ROW_BYTES = 512 * 1024 * 28  # == f32 cutoff 512k * (3*4 + 4*4) B
+_VMEM_ROW_LIMIT = _VMEM_ROW_BYTES // 28  # the f32-pair cutoff in elements
 
 # Rows-blocked streaming kernel (n above _VMEM_ROW_LIMIT): only the working
 # vector is VMEM-resident; (s_i, y_i) rows stream in tile-row CHUNKS, so the
 # budget is one padded vector (~n_pad * 4 B) + two small chunk buffers.
 _BLOCKED_ROW_LIMIT = 2_500_000  # f32 elements (~10 MB working vector)
-_BLOCK_ROWS = 512               # tile-rows per DMA stage (256 KB f32)
+_BLOCKED_VMEM_ELEMS = 3_000_000  # ~12 MB f32: working vector + chunk buffers
+
+
+def _pick_block_rows(rows: int, pair_itemsize: int = 4) -> int:
+    """Chunk size for the blocked kernel: FEW large chunks win — the
+    per-stage cost (predicated DMA start/wait + SMEM decode) measured
+    ~0.26 us, so v5e n=1M m=50 went 1.82 ms (nblk=16) -> 1.43 (8) -> 1.13
+    (4) -> 1.04 (2, the optimum; 1.06x of the 4mn HBM bound) -> 1.05 (1,
+    shallower pipeline). Prefer ~2 chunks, capped so the f32 working
+    vector plus the two pair-dtype chunk buffers stay inside the ~12 MB
+    VMEM budget."""
+    budget_b = _BLOCKED_VMEM_ELEMS * 4
+    spare = max((budget_b - rows * 128 * 4) // (2 * 128 * pair_itemsize), 64)
+    return max(64, min(-(-rows // 2), 4096, spare))
 
 # When the whole (S, Y) history fits comfortably in VMEM, skip per-pair
 # streaming entirely: two bulk DMAs bring the stacked arrays on-chip and the
@@ -54,7 +74,8 @@ _BLOCK_ROWS = 512               # tile-rows per DMA stage (256 KB f32)
 # parameter counts (e.g. the 921-param Burgers PINN, 4 KB/row) the streaming
 # kernel is DMA-latency-bound (~2 us per stage for ~8 KB of payload), so
 # this path is the difference between ~400 us and ~tens of us at m=100.
-_VMEM_RESIDENT_LIMIT = 1 * 1024 * 1024  # f32 elements per stacked array
+_VMEM_RESIDENT_BYTES = 4 * 1024 * 1024  # per stacked array (1M f32 elements)
+_VMEM_RESIDENT_LIMIT = _VMEM_RESIDENT_BYTES // 4  # f32-pair cutoff, elements
 
 
 def _kernel(meta_ref, rho_ref, v_ref, s_hbm, y_hbm, out_ref,
@@ -94,11 +115,14 @@ def _kernel(meta_ref, rho_ref, v_ref, s_hbm, y_hbm, out_ref,
         s_row = sbuf[cur]
         y_row = ybuf[cur]
 
-        # gamma = (s^T y)/(y^T y) of the newest pair (j == 0)
+        # gamma = (s^T y)/(y^T y) of the newest pair (j == 0); upcast the
+        # rows when the ring is stored narrow (pair x pair would sum bf16)
         @pl.when(j == 0)
         def _():
-            ys = jnp.sum(s_row * y_row)
-            yy = jnp.sum(y_row * y_row)
+            sf = s_row.astype(q_ref.dtype)
+            yf = y_row.astype(q_ref.dtype)
+            ys = jnp.sum(sf * yf)
+            yy = jnp.sum(yf * yf)
             if clamp_gamma:
                 gamma = jnp.where(jnp.abs(yy) < 1e-12, 1.0, ys / jnp.where(yy == 0, 1.0, yy))
                 gamma = jnp.clip(gamma, gamma_min, gamma_max)
@@ -106,7 +130,7 @@ def _kernel(meta_ref, rho_ref, v_ref, s_hbm, y_hbm, out_ref,
                 gamma = jnp.where(yy > 0, ys / jnp.where(yy == 0, 1.0, yy), 1.0)
             scal_ref[0] = gamma
 
-        a = rho_ref[i] * jnp.sum(s_row * q_ref[:])
+        a = rho_ref[i] * jnp.sum(s_row.astype(q_ref.dtype) * q_ref[:])
         alphas_ref[count - 1 - j] = a
         q_ref[:] = q_ref[:] - a * y_row
         return carry
@@ -169,8 +193,10 @@ def _kernel_resident(meta_ref, rho_ref, v_ref, s_hbm, y_hbm, out_ref,
 
         @pl.when(j == 0)
         def _():
-            ys = jnp.sum(s_row * y_row)
-            yy = jnp.sum(y_row * y_row)
+            sf = s_row.astype(q_ref.dtype)
+            yf = y_row.astype(q_ref.dtype)
+            ys = jnp.sum(sf * yf)
+            yy = jnp.sum(yf * yf)
             if clamp_gamma:
                 gamma = jnp.where(jnp.abs(yy) < 1e-12, 1.0, ys / jnp.where(yy == 0, 1.0, yy))
                 gamma = jnp.clip(gamma, gamma_min, gamma_max)
@@ -178,7 +204,7 @@ def _kernel_resident(meta_ref, rho_ref, v_ref, s_hbm, y_hbm, out_ref,
                 gamma = jnp.where(yy > 0, ys / jnp.where(yy == 0, 1.0, yy), 1.0)
             scal_ref[0] = gamma
 
-        a = rho_ref[i] * jnp.sum(s_row * q_ref[:])
+        a = rho_ref[i] * jnp.sum(s_row.astype(q_ref.dtype) * q_ref[:])
         alphas_ref[count - 1 - j] = a
         q_ref[:] = q_ref[:] - a * y_row
         return carry
@@ -358,19 +384,30 @@ def _kernel_blocked(meta_ref, rho_ref, gamma_ref, v_hbm, s_hbm, y_hbm,
 def _two_loop_pallas_blocked(
     v2, S3, Y3, rho, head, count,
     clamp_gamma: bool, gamma_min: float, gamma_max: float, interpret: bool,
-    block_rows: int = _BLOCK_ROWS,
+    block_rows: int = 0,
 ):
     m, rows, _ = S3.shape
+    pd = jnp.dtype(S3.dtype)
     n_pad = rows * 128
-    cblk = min(block_rows, rows)
+    cblk = block_rows if block_rows else _pick_block_rows(rows, pd.itemsize)
+    if not block_rows or pd.itemsize < 4:
+        # Auto-picked (and all bf16) chunks land on sublane-tile multiples
+        # (8 rows f32, 16 bf16); an explicit f32 block_rows is honored
+        # exactly (tests use odd sizes to exercise ragged tails).
+        tile = 32 // pd.itemsize
+        cblk = -(-cblk // tile) * tile
+    cblk = min(cblk, rows)
     nblk = -(-rows // cblk)
     meta = jnp.stack([head.astype(jnp.int32), count.astype(jnp.int32)])
 
     # gamma outside the kernel: one O(n) XLA pass over the newest pair
     # (fused reads), so the pipeline never needs a pair's rows twice.
+    # Upcast when the ring is stored narrow (pair x pair would dot bf16).
     last = (head - 1) % m
-    ys = jnp.vdot(S3[last], Y3[last])
-    yy = jnp.vdot(Y3[last], Y3[last])
+    s_last = S3[last].astype(v2.dtype)
+    y_last = Y3[last].astype(v2.dtype)
+    ys = jnp.vdot(s_last, y_last)
+    yy = jnp.vdot(y_last, y_last)
     if clamp_gamma:
         gamma = jnp.where(jnp.abs(yy) < 1e-12, 1.0,
                           ys / jnp.where(yy == 0, 1.0, yy))
@@ -394,7 +431,7 @@ def _two_loop_pallas_blocked(
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, cblk, 128), v2.dtype),    # chunk double buffer
+            pltpu.VMEM((2, cblk, 128), S3.dtype),    # chunk double buffer
             pltpu.SMEM((1,), v2.dtype),              # dot accumulator
             pltpu.SMEM((1,), v2.dtype),              # current axpy coefficient
             pltpu.SMEM((m,), v2.dtype),              # alphas
@@ -429,15 +466,15 @@ def _two_loop_pallas_padded(
         pl.BlockSpec(memory_space=pl.ANY),    # S (stays off-chip)
         pl.BlockSpec(memory_space=pl.ANY),    # Y
     ]
-    if m * n_pad <= _VMEM_RESIDENT_LIMIT:
+    if m * n_pad * jnp.dtype(S3.dtype).itemsize <= _VMEM_RESIDENT_BYTES:
         kern = functools.partial(
             _kernel_resident, m=m, clamp_gamma=clamp_gamma,
             gamma_min=gamma_min, gamma_max=gamma_max,
         )
         scratch = [
             pltpu.VMEM((rows, 128), v2.dtype),      # q
-            pltpu.VMEM((m, rows, 128), v2.dtype),   # whole S
-            pltpu.VMEM((m, rows, 128), v2.dtype),   # whole Y
+            pltpu.VMEM((m, rows, 128), S3.dtype),   # whole S
+            pltpu.VMEM((m, rows, 128), S3.dtype),   # whole Y
             pltpu.SMEM((m,), v2.dtype),             # alphas
             pltpu.SMEM((1,), v2.dtype),             # gamma
             pltpu.SemaphoreType.DMA((2,)),
@@ -449,8 +486,8 @@ def _two_loop_pallas_padded(
         )
         scratch = [
             pltpu.VMEM((rows, 128), v2.dtype),      # q
-            pltpu.VMEM((2, rows, 128), v2.dtype),   # s double buffer
-            pltpu.VMEM((2, rows, 128), v2.dtype),   # y double buffer
+            pltpu.VMEM((2, rows, 128), S3.dtype),   # s double buffer
+            pltpu.VMEM((2, rows, 128), S3.dtype),   # y double buffer
             pltpu.SMEM((m,), v2.dtype),             # alphas
             pltpu.SMEM((1,), v2.dtype),             # gamma
             pltpu.SemaphoreType.DMA((2,)),
@@ -468,16 +505,21 @@ def _two_loop_pallas_padded(
     return out.reshape(n_pad)
 
 
-def pallas_dispatch(n_pad: int, m: int, dtype) -> tuple[str, str]:
+def pallas_dispatch(n_pad: int, m: int, dtype,
+                    pair_dtype=None) -> tuple[str, str]:
     """Which implementation :func:`two_loop_pallas` will use for a history of
-    padded row length ``n_pad`` / capacity ``m`` / ``dtype``.
+    padded row length ``n_pad`` / capacity ``m`` / working ``dtype`` /
+    (S, Y) storage ``pair_dtype`` (defaults to ``dtype``).
 
     Returns ``(impl, reason)`` with ``impl`` one of ``"pallas-resident"``,
-    ``"pallas-streaming"``, ``"xla"``. Lets callers (and tests) check for a
-    silent policy substitution up front.
+    ``"pallas-streaming"``, ``"pallas-blocked"``, ``"xla"``. Lets callers
+    (and tests) check for a silent policy substitution up front.
     """
     if jnp.dtype(dtype) != jnp.float32:
         return "xla", f"dtype {jnp.dtype(dtype).name} != float32"
+    pd = jnp.dtype(pair_dtype) if pair_dtype is not None else jnp.dtype(dtype)
+    if pd not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        return "xla", f"pair dtype {pd.name} not in (float32, bfloat16)"
     if n_pad > _BLOCKED_ROW_LIMIT:
         return (
             "xla",
@@ -486,9 +528,9 @@ def pallas_dispatch(n_pad: int, m: int, dtype) -> tuple[str, str]:
             "vector no longer fits); the XLA loop form runs near the HBM "
             "bound there",
         )
-    if n_pad > _VMEM_ROW_LIMIT:
+    if n_pad * (12 + 4 * pd.itemsize) > _VMEM_ROW_BYTES:
         return "pallas-blocked", ""
-    if m * n_pad <= _VMEM_RESIDENT_LIMIT:
+    if m * n_pad * pd.itemsize <= _VMEM_RESIDENT_BYTES:
         return "pallas-resident", ""
     return "pallas-streaming", ""
 
@@ -516,7 +558,7 @@ def two_loop_pallas(
     m, rows, _ = hist.S.shape
     n_pad = rows * 128
     n = v.shape[0]
-    impl, reason = pallas_dispatch(n_pad, m, v.dtype)
+    impl, reason = pallas_dispatch(n_pad, m, v.dtype, hist.S.dtype)
     if impl == "xla":
         key = (m, n_pad, jnp.dtype(v.dtype).name)
         if key not in _FALLBACK_WARNED:

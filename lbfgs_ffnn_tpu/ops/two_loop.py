@@ -56,11 +56,20 @@ def ring_n_pad(hist: "RingState") -> int:
     return hist.S.shape[1] * hist.S.shape[2]
 
 
-def empty_history_state(m: int, n: int, dtype=jnp.float32) -> RingState:
-    n_pad = _round_up(n)
+def empty_history_state(m: int, n: int, dtype=jnp.float32,
+                        pair_dtype=None) -> RingState:
+    """``pair_dtype`` stores the (S, Y) stacks in a narrower dtype than the
+    solver (e.g. bfloat16: halves the ring's HBM footprint AND the two-loop's
+    4mn streaming traffic — the dominant per-iteration cost at large m*n).
+    rho and all recursion arithmetic stay in ``dtype``; rows are padded to
+    the bf16 tile (16x128) when narrower so both the f32 working vector
+    (8x128 tiles) and the bf16 stacks stay tile-aligned."""
+    pd = jnp.dtype(pair_dtype) if pair_dtype is not None else jnp.dtype(dtype)
+    align = 2048 if pd.itemsize < 4 else LANE_ALIGN
+    n_pad = _round_up(n, align)
     return RingState(
-        S=jnp.zeros((m, n_pad // 128, 128), dtype=dtype),
-        Y=jnp.zeros((m, n_pad // 128, 128), dtype=dtype),
+        S=jnp.zeros((m, n_pad // 128, 128), dtype=pd),
+        Y=jnp.zeros((m, n_pad // 128, 128), dtype=pd),
         rho=jnp.zeros((m,), dtype=dtype),
         head=jnp.int32(0),
         count=jnp.int32(0),
@@ -90,8 +99,8 @@ def ring_push(hist: RingState, s: jax.Array, y: jax.Array, rho: jax.Array, accep
     """
     m = hist.S.shape[0]
     n_pad = ring_n_pad(hist)
-    s = _pad_row(s, n_pad)
-    y = _pad_row(y, n_pad)
+    s = _pad_row(s, n_pad).astype(hist.S.dtype)  # narrowed if pair_dtype set
+    y = _pad_row(y, n_pad).astype(hist.Y.dtype)
     # Write the head row unconditionally, selecting between the new pair
     # and the existing row — NOT `where(accept, S.at[...].set(...), S)`,
     # whose select touches the whole (m, n_pad) buffer (82 MB at m=100,
@@ -148,10 +157,15 @@ def _two_loop_core(
     alphas0 = jnp.zeros((m,), dtype=v.dtype)
     q, alphas = lax.fori_loop(0, m, bwd, (q0, alphas0))
 
-    # Initial Hessian scaling from the newest pair.
+    # Initial Hessian scaling from the newest pair. Upcast the rows when
+    # the ring is stored narrow (pair_dtype=bfloat16): the mixed dots of
+    # the passes promote against the f32 working vector automatically, but
+    # s.y / y.y here are pair x pair and would reduce in bf16.
     last = phys(jnp.maximum(count - 1, 0))
-    ys = dot(S[last], Y[last])
-    yy = dot(Y[last], Y[last])
+    s_last = S[last].astype(v.dtype)
+    y_last = Y[last].astype(v.dtype)
+    ys = dot(s_last, y_last)
+    yy = dot(y_last, y_last)
     if clamp_gamma:
         gamma = jnp.where(jnp.abs(yy) < 1e-12, jnp.ones_like(ys), ys / jnp.where(yy == 0, 1.0, yy))
         gamma = jnp.clip(gamma, gamma_min, gamma_max)
@@ -464,8 +478,11 @@ def two_loop_compact(
     Yl = Y2[phys]
     rhol = jnp.where(valid, rho[phys], 0.0)
 
-    c = Sl @ v3.reshape(n_pad)         # s_l . v
-    M = Sl @ Yl.T                      # M[l, j] = s_l . y_j (logical)
+    c = Sl @ v3.reshape(n_pad)         # s_l . v (promotes vs f32 v)
+    # M accumulates in the solver dtype even when the ring is stored
+    # narrow — bf16 MXU inputs with f32 accumulation, the TPU-native mode.
+    M = jnp.einsum("ln,jn->lj", Sl, Yl,
+                   preferred_element_type=v.dtype)  # M[l, j] = s_l . y_j
 
     # Backward: l = count-1 .. 0, a_l = rho_l (c_l - sum_{j>l} M[l, j] a_j).
     def bwd(t, a):
@@ -482,7 +499,8 @@ def two_loop_compact(
     # gamma from the newest pair (same guards as the loop form).
     last = jnp.maximum(count - 1, 0)
     ys = M[last, last]                 # s_newest . y_newest
-    yy = jnp.sum(Yl[last] * Yl[last])
+    y_last = Yl[last].astype(v.dtype)  # upcast: bf16 x bf16 would sum in bf16
+    yy = jnp.sum(y_last * y_last)
     if clamp_gamma:
         gamma = jnp.where(jnp.abs(yy) < 1e-12, jnp.ones_like(ys),
                           ys / jnp.where(yy == 0, 1.0, yy))

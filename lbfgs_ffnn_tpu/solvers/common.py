@@ -13,7 +13,7 @@ from lbfgs_ffnn_tpu.types import SolveResult
 
 
 def drive_chunks(run_chunk, state, args, total, counter, done, sync,
-                 callback=None):
+                 callback=None, pipeline=True):
     """Shared chunked-execution protocol for every solver's ``*_chunked``
     driver: warm-up compile on a perturbed state (the axon runtime serves
     identical re-dispatches from cache and block_until_ready can return
@@ -26,6 +26,16 @@ def drive_chunks(run_chunk, state, args, total, counter, done, sync,
     (solver-specific early-stop predicate, evaluated after counter);
     ``sync(state) -> scalar jax value`` (pulled as float for the warm-up).
     Pre-existing iterations (resume) keep NaN time entries.
+
+    ``pipeline`` (default): chunk ``k+1`` is dispatched (async) BEFORE the
+    host blocks on chunk ``k``'s counter, so the tunnel round trip per
+    boundary overlaps device compute instead of idling it — the measured
+    column pays ~one RTT total rather than one per chunk (the round-2
+    columns carried 5x 30-90 ms of pure sync; GD's was mostly RTT). The
+    stop decision lags one chunk, so at most one speculative chunk is
+    dispatched past convergence — its body no-ops (the bounded while_loop's
+    ``not_done`` guard) and its result is discarded. Timing stays honest:
+    cumulative wall time from the first dispatch, stamped at each sync.
     """
     leaves = jax.tree_util.tree_leaves(state)
     jax.block_until_ready(leaves)
@@ -38,20 +48,36 @@ def drive_chunks(run_chunk, state, args, total, counter, done, sync,
     _ = float(sync(run_chunk(warm, *args)))
 
     time_ms = jnp.full((total,), jnp.nan)
-    elapsed = 0.0
     k_prev = counter(state)
+
+    if not pipeline:
+        elapsed = 0.0
+        while True:
+            t0 = time.perf_counter()
+            state = run_chunk(state, *args)
+            k_now = counter(state)  # host sync per chunk (that's the point)
+            elapsed += time.perf_counter() - t0
+            time_ms = time_ms.at[k_prev:k_now].set(elapsed * 1e3)
+            if callback is not None:
+                callback(state, elapsed)
+            if k_now == k_prev or k_now >= total or done(state):
+                break
+            k_prev = k_now
+        return state, time_ms
+
+    t0 = time.perf_counter()
+    cur = run_chunk(state, *args)
     while True:
-        t0 = time.perf_counter()
-        state = run_chunk(state, *args)
-        k_now = counter(state)  # host sync per chunk (that's the point)
-        elapsed += time.perf_counter() - t0
+        nxt = run_chunk(cur, *args)  # speculative: dispatched before the sync
+        k_now = counter(cur)         # blocks until chunk k is done on device
+        elapsed = time.perf_counter() - t0
         time_ms = time_ms.at[k_prev:k_now].set(elapsed * 1e3)
         if callback is not None:
-            callback(state, elapsed)
-        if k_now == k_prev or k_now >= total or done(state):
-            break
+            callback(cur, elapsed)
+        if k_now == k_prev or k_now >= total or done(cur):
+            return cur, time_ms
         k_prev = k_now
-    return state, time_ms
+        cur = nxt
 
 
 @functools.lru_cache(maxsize=256)

@@ -100,6 +100,14 @@ class LBFGSOptions(NamedTuple):
     # None = auto: True for armijo (backtracking-heavy by construction),
     # False for wolfe (usually accepts the first trial; measured faster
     # fused — set True explicitly for plateau-heavy objectives like PINNs).
+    pair_dtype: str | None = None
+    # Storage dtype for the (S, Y) curvature ring, e.g. "bfloat16": halves
+    # the ring's HBM footprint AND the two-loop's 4mn streaming traffic —
+    # the dominant per-iteration cost at large m*n (deep Fashion m=100:
+    # the ring is 195 MB f32). rho, gamma, and all recursion arithmetic
+    # stay in the solver dtype; only the stored rows are rounded, and the
+    # line search bounds any direction-quality loss. None = solver dtype.
+    # Single-device only (the mesh mode keeps f32 rings).
 
 
 class _State(NamedTuple):
@@ -160,7 +168,12 @@ def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux,
         f=f0,
         g=g0,
         gnorm=jnp.linalg.norm(g0),
-        hist=empty_hist(opts.m, x0.shape[0], x0.dtype),
+        hist=(
+            empty_hist(opts.m, x0.shape[0], x0.dtype,
+                       pair_dtype=opts.pair_dtype)
+            if getattr(opts, "pair_dtype", None) is not None
+            else empty_hist(opts.m, x0.shape[0], x0.dtype)
+        ),
         loss_h=loss_h,
         gnorm_h=gnorm_h,
         nf=jnp.int32(1),
@@ -373,6 +386,12 @@ def _sharded_env(problem: Problem, opts: LBFGSOptions, mesh, axis: str,
             "two_loop_impl='pallas' is a single-device kernel; the mesh mode "
             "uses the psum-reduced sharded recursion (two_loop_impl='xla') "
             "or the collective-lean Gram form (two_loop_impl='compact')"
+        )
+    if opts.pair_dtype is not None:
+        raise ValueError(
+            "pair_dtype is single-device only: the sharded recursions keep "
+            "f32 rings (psum partial dots would mix accumulation dtypes "
+            "across shards)"
         )
     ndev = mesh.shape[axis]
     vec_s = NamedSharding(mesh, P(axis))

@@ -210,3 +210,118 @@ def test_pallas_blocked_path_matches_f64_oracle():
     np.testing.assert_allclose(r, oracle, atol=1e-3, rtol=1e-3)
     r_xla = np.asarray(two_loop(v, hist))
     assert np.abs(r - oracle).max() < 2.0 * max(np.abs(r_xla - oracle).max(), 1e-6)
+
+
+@pytest.mark.parametrize("impl", ["xla", "compact", "pallas"])
+def test_bf16_pair_ring_matches_f32_ring(impl):
+    """pair_dtype="bfloat16" ring (round 3): every implementation must (a)
+    agree with the f32-ring result at bf16 rounding tolerance, and (b) agree
+    with the XLA form running on the SAME bf16 ring to f32 round-off — the
+    rounding happens once, at the push, not per-implementation."""
+    from lbfgs_ffnn_tpu.ops.two_loop import two_loop_compact
+
+    m, n, k = 5, 3000, 4
+    rng = np.random.default_rng(11)
+    h16 = empty_history_state(m, n, jnp.float32, pair_dtype=jnp.bfloat16)
+    hf = empty_history_state(m, n, jnp.float32)
+    assert h16.S.dtype == jnp.bfloat16 and h16.rho.dtype == jnp.float32
+    assert h16.S.shape[1] % 16 == 0  # bf16 sublane-tile-aligned rows
+    for _ in range(k):
+        s = rng.normal(size=n)
+        y = rng.normal(size=n) + 0.5 * s
+        sj = jnp.asarray(s, jnp.float32)
+        yj = jnp.asarray(y, jnp.float32)
+        rho = 1.0 / jnp.vdot(yj, sj)
+        h16 = ring_push(h16, sj, yj, rho, jnp.array(True))
+        hf = ring_push(hf, sj, yj, rho, jnp.array(True))
+    v = jnp.asarray(rng.normal(size=n), jnp.float32)
+    r_f32 = np.asarray(two_loop(v, hf))
+    fn = {"xla": two_loop, "compact": two_loop_compact,
+          "pallas": two_loop_pallas}[impl]
+    r = np.asarray(fn(v, h16))
+    assert r.dtype == np.float32  # arithmetic stays in the solver dtype
+    scale = np.abs(r_f32).max()
+    assert np.abs(r - r_f32).max() / scale < 5e-3      # bf16 storage rounding
+    r16_ref = np.asarray(two_loop(v, h16))
+    assert np.abs(r - r16_ref).max() / scale < 5e-5    # same-ring consistency
+
+
+def test_bf16_pair_dispatch_extends_budgets():
+    """The byte-based budgets: bf16 pairs keep the streaming kernel past the
+    f32 cutoff and double the VMEM-resident reach."""
+    from lbfgs_ffnn_tpu.ops.pallas_two_loop import (
+        _VMEM_RESIDENT_LIMIT, _VMEM_ROW_LIMIT, pallas_dispatch,
+    )
+
+    # f32 pairs at 600k rows: blocked; bf16 pairs: still whole-row streaming
+    assert pallas_dispatch(600 * 1024, 10, jnp.float32)[0] == "pallas-blocked"
+    assert (
+        pallas_dispatch(600 * 1024, 10, jnp.float32, jnp.bfloat16)[0]
+        == "pallas-streaming"
+    )
+    # resident reach doubles: m*n_pad at 1.5x the f32 element limit
+    n_pad, m = 2048 * 128, 6  # m * n_pad = 1.57M elements > 1M f32 limit
+    assert m * n_pad > _VMEM_RESIDENT_LIMIT
+    assert pallas_dispatch(n_pad, m, jnp.float32)[0] == "pallas-streaming"
+    assert (
+        pallas_dispatch(n_pad, m, jnp.float32, jnp.bfloat16)[0]
+        == "pallas-resident"
+    )
+    # f64 pairs: no kernel
+    impl, reason = pallas_dispatch(1024, 4, jnp.float32, jnp.float64)
+    assert impl == "xla" and "pair dtype" in reason
+    assert _VMEM_ROW_LIMIT == 512 * 1024  # the round-2 f32 cutoff, unchanged
+
+
+def test_bf16_pair_blocked_kernel():
+    """Rows-blocked kernel with a bf16 ring: chunk buffers are bf16 (half
+    traffic), accumulation f32; forced small with an explicit block size
+    (rounded up to the bf16 16-row tile internally)."""
+    from lbfgs_ffnn_tpu.ops.pallas_two_loop import _two_loop_pallas_blocked
+
+    m, n, k = 4, 5000, 6
+    rng = np.random.default_rng(21)
+    h16 = empty_history_state(m, n, jnp.float32, pair_dtype=jnp.bfloat16)
+    for _ in range(k):
+        s = rng.normal(size=n)
+        y = rng.normal(size=n) + 0.5 * s
+        sj = jnp.asarray(s, jnp.float32)
+        yj = jnp.asarray(y, jnp.float32)
+        h16 = ring_push(h16, sj, yj, 1.0 / jnp.vdot(yj, sj), jnp.array(True))
+    v = jnp.asarray(rng.normal(size=n), jnp.float32)
+    rows = h16.S.shape[1]
+    n_pad = rows * 128
+    v2 = jnp.zeros((n_pad,), jnp.float32).at[:n].set(v).reshape(rows, 128)
+    interpret = jax.default_backend() != "tpu"
+    out = _two_loop_pallas_blocked(
+        v2, h16.S, h16.Y, h16.rho, h16.head, h16.count,
+        False, 1e-6, 1e6, interpret, 10,  # 10 -> rounded to 16
+    )
+    ref = np.asarray(two_loop(v, h16))
+    np.testing.assert_allclose(np.asarray(out[:n]), ref, rtol=5e-5, atol=5e-5)
+
+
+def test_lbfgs_pair_dtype_option():
+    """Solver-level bf16 ring: converges like the f32 ring on a small MLP,
+    the carried history really is bf16, and the mesh mode refuses it."""
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+    from lbfgs_ffnn_tpu.solvers.lbfgs import LBFGSOptions, lbfgs
+
+    rng = np.random.default_rng(5)
+    X = jnp.asarray(rng.normal(size=(256, 16)), jnp.float32)
+    Y = jax.nn.one_hot(jnp.asarray(rng.integers(0, 4, 256)), 4,
+                       dtype=jnp.float32)
+    spec = mlp_spec([16, 32, 4], ["relu", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    res_f = lbfgs(prob, w0, (X, Y), LBFGSOptions(max_iters=60, m=10))
+    res_b = lbfgs(prob, w0, (X, Y),
+                  LBFGSOptions(max_iters=60, m=10, pair_dtype="bfloat16"))
+    assert float(res_b.final_loss) < 1.10 * float(res_f.final_loss) + 1e-3
+
+    from jax.sharding import Mesh
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    with pytest.raises(ValueError, match="single-device"):
+        lbfgs(prob, w0, (X, Y),
+              LBFGSOptions(max_iters=3, pair_dtype="bfloat16"), mesh=mesh)
