@@ -40,6 +40,11 @@ parser.add_argument("--batched-ls", action="store_true",
                          "Armijo ladder (pure backtracking, slightly "
                          "better loss; since the carried line prefix, the "
                          "reference policy is the faster one)")
+parser.add_argument("--bf16-ring", action="store_true",
+                    help="add L-BFGS runs storing the curvature ring in "
+                         "bfloat16 (half the ring HBM traffic; recursion "
+                         "arithmetic stays f32 — TPU-only policy, no "
+                         "reference counterpart)")
 parser.add_argument("--record-accuracy", action="store_true",
                     help="per-epoch TrainAcc+TestAcc columns for the "
                          "stochastic solvers (rendered by plot_results.py, "
@@ -111,6 +116,14 @@ else:
                                 tolerance=1e-3, m_param=100, log_interval=1,
                                 two_loop_impl=two_loop)),
     ]
+
+if args.bf16_ring:
+    for m in (10, 100):
+        runs.append(("lbfgs", UnifiedConfig(
+            name=f"{name}_LBFGS_m{m}_bf16ring", max_iters=args.iters,
+            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
+            log_interval=1, two_loop_impl=two_loop,
+            pair_dtype="bfloat16")))
 
 if args.batched_ls:
     for m in (10, 100):

@@ -83,6 +83,10 @@ class UnifiedConfig:
                                  # "armijo_batched" = spec_k-candidate
                                  # speculative ladder (TPU-only policy)
     ls_spec_k: int = 8           # candidates per batched forward
+    pair_dtype: Optional[str] = None  # L-BFGS ring storage dtype override
+                                 # ("bfloat16" halves the curvature ring's
+                                 # HBM footprint + two-loop streaming
+                                 # traffic; recursion arithmetic stays f32)
 
 
 @dataclasses.dataclass
@@ -303,6 +307,7 @@ class Launcher:
             ls_max_iters=ls_max,
             ls_spec_k=c.ls_spec_k,
             two_loop_impl=c.two_loop_impl,
+            pair_dtype=c.pair_dtype,
         )
 
     def _gd_opts(self, c: UnifiedConfig) -> GDOptions:

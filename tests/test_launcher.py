@@ -157,3 +157,16 @@ def test_gd_sgd_timed_chunks_real_times(solver, tmp_path, monkeypatch):
     assert np.all(np.isfinite(t))
     assert np.all(np.diff(t) >= 0)
     assert t[0] == t[1] == t[2]  # chunk granularity
+
+
+def test_lbfgs_pair_dtype_threads_through(tmp_path, monkeypatch):
+    """UnifiedConfig.pair_dtype reaches LBFGSOptions and the solver still
+    trains (bf16 curvature ring; recursion arithmetic stays f32)."""
+    monkeypatch.chdir(tmp_path)
+    launcher = make_launcher("cuda")
+    cfg = UnifiedConfig(name="Bf16Ring", max_iters=8, tolerance=1e-6,
+                        m_param=5, log_interval=1, pair_dtype="bfloat16")
+    assert launcher._lbfgs_opts(cfg).pair_dtype == "bfloat16"
+    report = launcher.train("lbfgs", cfg, verbose=False)
+    assert int(report.result.n_iters) > 0
+    assert report.history.loss[-1] <= report.history.loss[0]
