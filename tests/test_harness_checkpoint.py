@@ -66,14 +66,20 @@ def test_weights_npz_roundtrip(tmp_path):
     np.testing.assert_array_equal(load_weights_npz(p), np.asarray(w))
 
 
-def test_lbfgs_chunked_checkpoint_resume(tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("pair_dtype", [None, "bfloat16"])
+def test_lbfgs_chunked_checkpoint_resume(tmp_path, pair_dtype):
     """Kill-and-resume: checkpoint the chunk state mid-run, restore into a
-    fresh driver, and reach the identical final result."""
+    fresh driver, and reach the identical final result. Parametrized over
+    the bf16 curvature ring: the narrow ring must survive the Orbax
+    round-trip (dtype-preserving) and resume deterministically."""
     from lbfgs_ffnn_tpu.solvers.lbfgs import lbfgs_chunked
 
     prob = rosenbrock_problem()
     x0 = rosenbrock_start(4)
-    opts = LBFGSOptions(max_iters=60, tol=1e-12, m=8)
+    opts = LBFGSOptions(max_iters=60, tol=1e-12, m=8, pair_dtype=pair_dtype)
 
     res_full, _ = lbfgs_chunked(prob, x0, opts=opts, chunk=10)
 
