@@ -277,9 +277,12 @@ class GramRing(NamedTuple):
     yy: jax.Array  # (m,)
 
 
-def gram_empty(m: int, n: int, dtype=jnp.float32) -> GramRing:
+def gram_empty(m: int, n: int, dtype=jnp.float32, pair_dtype=None) -> GramRing:
+    """``pair_dtype`` narrows the ring rows exactly as in
+    :func:`empty_history_state`; M/yy (and every Gram update) stay in the
+    solver ``dtype`` — bf16 rows feed the GEMVs, f32 accumulates."""
     return GramRing(
-        ring=empty_history_state(m, n, dtype),
+        ring=empty_history_state(m, n, dtype, pair_dtype=pair_dtype),
         M=jnp.zeros((m, m), dtype=dtype),
         yy=jnp.zeros((m,), dtype=dtype),
     )
@@ -300,19 +303,32 @@ def gram_push(gr: GramRing, s: jax.Array, y: jax.Array, rho: jax.Array, accept) 
     ring = ring_push(gr.ring, s, y, rho, accept)
     n_pad = ring_n_pad(ring)
     m = ring.S.shape[0]
-    s_r = _pad_row(s, n_pad)
-    y_r = _pad_row(y, n_pad)
+    # M is the Gram of the STORED rows: narrow the new pair to the ring
+    # dtype BEFORE the GEMVs (under pair_dtype=bfloat16 the direction's
+    # a/b recurrences must see s_i . y_j of the same bf16 rows the q/r
+    # sweeps read — mixed f32-vector x bf16-row entries would disagree
+    # with the loop form at bf16 rounding level and compound across
+    # iterations). Accumulation stays in the solver dtype (M's).
+    acc = gr.M.dtype
+    s_r = _pad_row(s, n_pad).astype(ring.S.dtype)
+    y_r = _pad_row(y, n_pad).astype(ring.Y.dtype)
     # Post-push history: slot `head` already holds (s_new, y_new), so the
     # row/col GEMVs cover the diagonal entry s_new . y_new consistently.
-    row = jnp.einsum("mrk,rk->m", ring.Y, s_r)   # s_new . y_j
-    col = jnp.einsum("mrk,rk->m", ring.S, y_r)   # s_i . y_new
+    row = jnp.einsum("mrk,rk->m", ring.Y, s_r,
+                     preferred_element_type=acc)   # s_new . y_j
+    col = jnp.einsum("mrk,rk->m", ring.S, y_r,
+                     preferred_element_type=acc)   # s_i . y_new
     M = jnp.where(
         accept,
         gr.M.at[head, :].set(row).at[:, head].set(col),
         gr.M,
     )
     yy = jnp.where(
-        accept, gr.yy.at[head].set(jnp.vdot(y_r, y_r)), gr.yy
+        accept,
+        gr.yy.at[head].set(
+            jnp.einsum("rk,rk->", y_r, y_r, preferred_element_type=acc)
+        ),
+        gr.yy,
     )
     return GramRing(ring=ring, M=M, yy=yy)
 

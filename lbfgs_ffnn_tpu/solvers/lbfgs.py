@@ -107,7 +107,9 @@ class LBFGSOptions(NamedTuple):
     # the ring is 195 MB f32). rho, gamma, and all recursion arithmetic
     # stay in the solver dtype; only the stored rows are rounded, and the
     # line search bounds any direction-quality loss. None = solver dtype.
-    # Single-device only (the mesh mode keeps f32 rings).
+    # Works under mesh= too: each shard's partial dot promotes its bf16
+    # rows against the f32 working shard BEFORE the psum, so cross-device
+    # accumulation stays f32 (halves ring HBM per chip on pods).
 
 
 class _State(NamedTuple):
@@ -387,12 +389,6 @@ def _sharded_env(problem: Problem, opts: LBFGSOptions, mesh, axis: str,
             "uses the psum-reduced sharded recursion (two_loop_impl='xla') "
             "or the collective-lean Gram form (two_loop_impl='compact')"
         )
-    if opts.pair_dtype is not None:
-        raise ValueError(
-            "pair_dtype is single-device only: the sharded recursions keep "
-            "f32 rings (psum partial dots would mix accumulation dtypes "
-            "across shards)"
-        )
     ndev = mesh.shape[axis]
     vec_s = NamedSharding(mesh, P(axis))
     row_s = NamedSharding(mesh, P(None, axis, None))
@@ -413,7 +409,13 @@ def _sharded_env(problem: Problem, opts: LBFGSOptions, mesh, axis: str,
 
         push, reset, empty_hist = ring_push, ring_reset, empty_history_state
 
-    n_pad = _round_up(n)
+    # A narrow (pair_dtype) ring pads its rows to the bf16 tile (16x128);
+    # the iterate/gradient must share that padded length so the recursion's
+    # per-shard axpys line up. Every partial dot promotes bf16 rows against
+    # the f32 working shard BEFORE the psum, so accumulation is f32 on
+    # every device (gamma's pair-x-pair dots upcast inside the core).
+    pd = jnp.dtype(opts.pair_dtype) if opts.pair_dtype is not None else None
+    n_pad = _round_up(n, 2048 if (pd is not None and pd.itemsize < 4) else 1024)
     # The ring is sharded over its TILE-ROW axis (rows = n_pad/128), so
     # the row count — not the raw padded length — must split evenly.
     if (n_pad // 128) % ndev:

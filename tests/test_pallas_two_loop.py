@@ -303,7 +303,7 @@ def test_bf16_pair_blocked_kernel():
 
 def test_lbfgs_pair_dtype_option():
     """Solver-level bf16 ring: converges like the f32 ring on a small MLP,
-    the carried history really is bf16, and the mesh mode refuses it."""
+    the carried history really is bf16, and the mesh mode runs it too."""
     from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
     from lbfgs_ffnn_tpu.solvers.lbfgs import LBFGSOptions, lbfgs
 
@@ -321,7 +321,11 @@ def test_lbfgs_pair_dtype_option():
 
     from jax.sharding import Mesh
 
-    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
-    with pytest.raises(ValueError, match="single-device"):
-        lbfgs(prob, w0, (X, Y),
-              LBFGSOptions(max_iters=3, pair_dtype="bfloat16"), mesh=mesh)
+    # Mesh mode accepts the narrow ring too (rows padded to the bf16 tile,
+    # partial dots promote before the psum so accumulation stays f32) —
+    # multi-device trajectory parity is pinned in
+    # tests/test_parallel.py::test_lbfgs_param_sharded_bf16_ring_full_solver.
+    mesh = Mesh(np.array(jax.devices()[:1]), ("model",))
+    res_m = lbfgs(prob, w0, (X, Y),
+                  LBFGSOptions(max_iters=3, pair_dtype="bfloat16"), mesh=mesh)
+    assert int(res_m.n_iters) == 3

@@ -590,3 +590,73 @@ def test_lbfgs_param_sharded_compact_full_solver_parity():
         rtol=1e-9,
     )
     assert int(res.n_fevals) == int(ref.n_fevals)  # same trial sequence
+
+def test_two_loop_param_sharded_bf16_ring():
+    """bf16 ring rows under the parameter-sharded recursion: each shard's
+    partial dot promotes its bf16 rows against the f32 working shard BEFORE
+    the psum, so cross-device accumulation is f32 — the sharded direction
+    matches the single-device bf16-ring direction up to reduction order."""
+    from lbfgs_ffnn_tpu.ops.two_loop import (
+        empty_history_state, ring_push, two_loop, two_loop_sharded,
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(1)
+    n, m, k = 4096, 6, 9  # multiple of 2048 (the bf16 tile row alignment)
+    hist = empty_history_state(m, n, jnp.float32, pair_dtype="bfloat16")
+    assert hist.S.dtype == jnp.bfloat16
+    assert hist.rho.dtype == jnp.float32
+    for _ in range(k):
+        s = rng.normal(size=n)
+        yv = rng.normal(size=n) + 0.5 * s
+        if s @ yv <= 1e-3:
+            continue
+        s_j = jnp.asarray(s, dtype=jnp.float32)
+        y_j = jnp.asarray(yv, dtype=jnp.float32)
+        hist = ring_push(hist, s_j, y_j, 1.0 / jnp.vdot(y_j, s_j),
+                         jnp.array(True))
+    v = jnp.asarray(rng.normal(size=n), dtype=jnp.float32)
+
+    r_single = two_loop(v, hist)
+
+    mesh = make_mesh(axis_name="param")
+    col = NamedSharding(mesh, P(None, "param", None))
+    vecsh = NamedSharding(mesh, P("param"))
+    hist_sh = hist._replace(
+        S=jax.device_put(hist.S, col), Y=jax.device_put(hist.Y, col),
+    )
+    v_sh = jax.device_put(v, vecsh)
+    r_sharded = two_loop_sharded(v_sh, hist_sh, mesh, "param")
+    assert r_sharded.dtype == jnp.float32
+    # Same bf16 stored rows on both sides; only the f32 partial-sum order
+    # differs between the flat vdot and the 8-shard psum.
+    np.testing.assert_allclose(
+        np.asarray(r_sharded), np.asarray(r_single), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("impl", ["xla", "compact"])
+def test_lbfgs_param_sharded_bf16_ring_full_solver(impl):
+    """lbfgs(mesh=..., pair_dtype='bfloat16') end-to-end: the narrow ring is
+    sharded on its tile-row axis (rows padded to the 16x128 bf16 tile) and
+    the trajectory tracks the single-device bf16-ring run (f32 psum order is
+    the only difference)."""
+    spec = mlp_spec([12, 16, 4], ["relu", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(7), dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(8), (64, 12), dtype=jnp.float32)
+    y = jax.nn.one_hot(jnp.arange(64) % 4, 4, dtype=jnp.float32)
+    opts = LBFGSOptions(max_iters=10, tol=1e-12, m=4, line_search="wolfe",
+                        prefix_vag=False, ls_value_only=False,
+                        pair_dtype="bfloat16", two_loop_impl=impl)
+
+    ref = lbfgs(prob, w0, aux=(x, y),
+                opts=opts._replace(two_loop_impl="xla"))
+    mesh = make_mesh(axis_name="model")
+    res = lbfgs(prob, w0, aux=(x, y), opts=opts, mesh=mesh)
+    assert int(res.n_iters) == int(ref.n_iters)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(
+        float(res.final_loss), float(ref.final_loss), rtol=1e-3
+    )
