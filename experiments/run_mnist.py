@@ -45,6 +45,11 @@ parser.add_argument("--bf16-ring", action="store_true",
                          "bfloat16 (half the ring HBM traffic; recursion "
                          "arithmetic stays f32 — TPU-only policy, no "
                          "reference counterpart)")
+parser.add_argument("--bf16-compute", action="store_true",
+                    help="add L-BFGS runs evaluating the objective with "
+                         "bf16 MXU operands (f32 accumulation/params/loss; "
+                         "~2x matmul throughput — TPU-native policy, no "
+                         "reference counterpart)")
 parser.add_argument("--record-accuracy", action="store_true",
                     help="per-epoch TrainAcc+TestAcc columns for the "
                          "stochastic solvers (rendered by plot_results.py, "
@@ -124,6 +129,14 @@ if args.bf16_ring:
             tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
             log_interval=1, two_loop_impl=two_loop,
             pair_dtype="bfloat16")))
+
+if args.bf16_compute:
+    for m in (10, 100):
+        runs.append(("lbfgs", UnifiedConfig(
+            name=f"{name}_LBFGS_m{m}_bf16compute", max_iters=args.iters,
+            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
+            log_interval=1, two_loop_impl=two_loop,
+            compute_dtype="bfloat16")))
 
 if args.batched_ls:
     for m in (10, 100):

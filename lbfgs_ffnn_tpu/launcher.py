@@ -87,6 +87,11 @@ class UnifiedConfig:
                                  # ("bfloat16" halves the curvature ring's
                                  # HBM footprint + two-loop streaming
                                  # traffic; recursion arithmetic stays f32)
+    compute_dtype: Optional[str] = None  # objective matmul operand dtype
+                                 # ("bfloat16" feeds the MXU bf16 operands
+                                 # with f32 accumulation — ~2x matmul
+                                 # throughput; params/activations/loss stay
+                                 # f32. See objectives/mlp.py::mlp_apply)
 
 
 @dataclasses.dataclass
@@ -134,17 +139,22 @@ class Launcher:
         self._bind_params(seed)
         return self
 
-    def _get_problem(self):
-        # One Problem object per launcher: solver jit caches key on it, so
-        # warm-up and timed runs share the compiled executable.
-        if "full" not in self._prob_cache:
-            self._prob_cache["full"] = mlp_problem(self.spec)
-        return self._prob_cache["full"]
-
-    def _get_batch_problem(self, lam: float):
-        key = ("batch", lam)
+    def _get_problem(self, compute_dtype: Optional[str] = None):
+        # One Problem object per launcher per compute policy: solver jit
+        # caches key on it, so warm-up and timed runs share the executable.
+        key = ("full", compute_dtype)
         if key not in self._prob_cache:
-            self._prob_cache[key] = mlp_batch_problem(self.spec, lam=lam)
+            self._prob_cache[key] = mlp_problem(
+                self.spec, compute_dtype=compute_dtype
+            )
+        return self._prob_cache[key]
+
+    def _get_batch_problem(self, lam: float, compute_dtype: Optional[str] = None):
+        key = ("batch", lam, compute_dtype)
+        if key not in self._prob_cache:
+            self._prob_cache[key] = mlp_batch_problem(
+                self.spec, lam=lam, compute_dtype=compute_dtype
+            )
         return self._prob_cache[key]
 
     def _bind_params(self, seed: int) -> None:
@@ -189,26 +199,27 @@ class Launcher:
             t0 = time.perf_counter()
             if solver == "lbfgs":
                 result, time_ms = lbfgs_chunked(
-                    self._get_problem(), self.weights,
+                    self._get_problem(config.compute_dtype), self.weights,
                     aux=(self._x, self._y), opts=self._lbfgs_opts(config),
                     chunk=K,
                 )
             elif solver == "slbfgs":
                 result, time_ms = slbfgs_chunked(
-                    self._get_batch_problem(config.lam if config.lam > 0 else 1e-4),
+                    self._get_batch_problem(config.lam if config.lam > 0 else 1e-4,
+                                            config.compute_dtype),
                     self.weights, self._x, self._y,
                     self._slbfgs_opts(config, N), chunk=K,
                     metric_args=self._metric_args(config),
                 )
             elif solver == "sgd":
                 result, time_ms = sgd_chunked(
-                    self._get_batch_problem(0.0), self.weights,
+                    self._get_batch_problem(0.0, config.compute_dtype), self.weights,
                     self._x, self._y, self._sgd_opts(config), chunk=K,
                     metric_args=self._metric_args(config),
                 )
             elif solver == "gd":
                 result, time_ms = gd_chunked(
-                    self._get_problem(), self.weights,
+                    self._get_problem(config.compute_dtype), self.weights,
                     aux=(self._x, self._y), opts=self._gd_opts(config),
                     chunk=K,
                 )
@@ -358,24 +369,24 @@ class Launcher:
         N = int(x.shape[0])
 
         if solver == "gd":
-            prob = self._get_problem()
+            prob = self._get_problem(c.compute_dtype)
             opts = self._gd_opts(c)
             return lambda: gradient_descent(prob, w0, aux=(x, y), opts=opts)
 
         if solver == "lbfgs":
-            prob = self._get_problem()
+            prob = self._get_problem(c.compute_dtype)
             opts = self._lbfgs_opts(c)
             return lambda: lbfgs(prob, w0, aux=(x, y), opts=opts)
 
         if solver == "sgd":
-            bp = self._get_batch_problem(0.0)
+            bp = self._get_batch_problem(0.0, c.compute_dtype)
             opts = self._sgd_opts(c)
             margs = self._metric_args(c)
             return lambda: sgd(bp, w0, x, y, opts, metric_args=margs)
 
         if solver == "slbfgs":
             lam = c.lam if c.lam > 0 else 1e-4
-            bp = self._get_batch_problem(lam)
+            bp = self._get_batch_problem(lam, c.compute_dtype)
             opts = self._slbfgs_opts(c, N)
             margs = self._metric_args(c)
             return lambda: slbfgs(bp, w0, x, y, opts, metric_args=margs)

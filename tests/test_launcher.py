@@ -170,3 +170,21 @@ def test_lbfgs_pair_dtype_threads_through(tmp_path, monkeypatch):
     report = launcher.train("lbfgs", cfg, verbose=False)
     assert int(report.result.n_iters) > 0
     assert report.history.loss[-1] <= report.history.loss[0]
+
+
+def test_lbfgs_compute_dtype_threads_through(tmp_path, monkeypatch):
+    """UnifiedConfig.compute_dtype reaches the objective: the bf16-operand
+    problem is cached under its own key (distinct jit identity from the f32
+    one) and the solver still trains to a decreasing loss."""
+    monkeypatch.chdir(tmp_path)
+    launcher = make_launcher("cuda")
+    cfg = UnifiedConfig(name="Bf16Compute", max_iters=8, tolerance=1e-6,
+                        m_param=5, log_interval=1, compute_dtype="bfloat16")
+    p_bf16 = launcher._get_problem("bfloat16")
+    assert p_bf16 is not launcher._get_problem(None)
+    assert p_bf16 is launcher._get_problem("bfloat16")  # cached
+    report = launcher.train("lbfgs", cfg, verbose=False)
+    assert int(report.result.n_iters) > 0
+    assert report.history.loss[-1] <= report.history.loss[0]
+    # f32 accumulation: the recorded losses are finite, ordinary floats
+    assert np.isfinite(report.history.loss).all()
