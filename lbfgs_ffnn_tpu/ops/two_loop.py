@@ -294,10 +294,13 @@ def gram_push(gr: GramRing, s: jax.Array, y: jax.Array, rho: jax.Array, accept) 
     The new slot's row (``s_new . y_j``) and column (``s_i . y_new``) are two
     (m, n) GEMVs over the post-push history — 2mn traffic, the same cost the
     per-call compact form pays to rebuild M from scratch, but paid once per
-    *push* instead of once per *direction* (directions can outnumber pushes;
-    a rejected pair costs nothing). Under GSPMD with the ring sharded on its
-    tile-row axis, XLA partitions the GEMVs and all-reduces the (m,)
-    results automatically.
+    *push* instead of once per *direction* (directions can outnumber pushes).
+    The GEMVs run unconditionally and ``jnp.where(accept, ...)`` selects the
+    result — a rejected pair still pays the 2mn read (a ``lax.cond`` would
+    skip it, but a data-dependent branch around a GEMV blocks XLA fusion and
+    costs more than it saves at solver scale; rejections are rare under the
+    curvature gate). Under GSPMD with the ring sharded on its tile-row axis,
+    XLA partitions the GEMVs and all-reduces the (m,) results automatically.
     """
     head = gr.ring.head  # slot the push writes
     ring = ring_push(gr.ring, s, y, rho, accept)
@@ -494,50 +497,29 @@ def two_loop_compact(
     Yl = Y2[phys]
     rhol = jnp.where(valid, rho[phys], 0.0)
 
-    c = Sl @ v3.reshape(n_pad)         # s_l . v (promotes vs f32 v)
+    v1 = v3.reshape(n_pad)
+    c = Sl @ v1                        # s_l . v (promotes vs f32 v)
     # M accumulates in the solver dtype even when the ring is stored
     # narrow — bf16 MXU inputs with f32 accumulation, the TPU-native mode.
     M = jnp.einsum("ln,jn->lj", Sl, Yl,
                    preferred_element_type=v.dtype)  # M[l, j] = s_l . y_j
 
-    # Backward: l = count-1 .. 0, a_l = rho_l (c_l - sum_{j>l} M[l, j] a_j).
-    def bwd(t, a):
-        l = m - 1 - t
-        mask_newer = (li > l) & valid
-        acc = jnp.sum(jnp.where(mask_newer, M[l] * a, 0.0))
-        a_l = jnp.where(valid[l], rhol[l] * (c[l] - acc), 0.0)
-        return a.at[l].set(a_l)
-
-    a = lax.fori_loop(0, m, bwd, jnp.zeros((m,), dtype=v.dtype))
-
-    q = v3.reshape(n_pad) - a @ Yl
-
-    # gamma from the newest pair (same guards as the loop form).
+    # gamma's y.y from the newest pair (upcast: bf16 x bf16 would sum in
+    # bf16); s.y comes from M inside the shared recurrence core.
     last = jnp.maximum(count - 1, 0)
-    ys = M[last, last]                 # s_newest . y_newest
-    y_last = Yl[last].astype(v.dtype)  # upcast: bf16 x bf16 would sum in bf16
-    yy = jnp.sum(y_last * y_last)
-    if clamp_gamma:
-        gamma = jnp.where(jnp.abs(yy) < 1e-12, jnp.ones_like(ys),
-                          ys / jnp.where(yy == 0, 1.0, yy))
-        gamma = jnp.clip(gamma, gamma_min, gamma_max)
-    else:
-        gamma = jnp.where(yy > 0, ys / jnp.where(yy == 0, 1.0, yy),
-                          jnp.ones_like(ys))
-    gamma = jnp.where(count > 0, gamma, jnp.ones_like(gamma))
-    z0 = gamma * q
+    y_last = Yl[last].astype(v.dtype)
+    yy_last = jnp.sum(y_last * y_last)
 
-    d = Yl @ z0                        # y_l . z0
+    z0_box = {}
 
-    # Forward: l = 0 .. count-1, b_l = rho_l (d_l + sum_{j<l} M[j, l] (a_j - b_j))
-    # (M[j, l] = s_j . y_l = y_l . s_j).
-    def fwd(l, b):
-        mask_older = (li < l) & valid
-        acc = jnp.sum(jnp.where(mask_older, M[:, l] * (a - b), 0.0))
-        b_l = jnp.where(valid[l], rhol[l] * (d[l] + acc), 0.0)
-        return b.at[l].set(b_l)
+    def d_fn(gamma, a):
+        z0 = gamma * (v1 - a @ Yl)
+        z0_box["z0"] = z0
+        return Yl @ z0                 # y_l . z0
 
-    b = lax.fori_loop(0, m, fwd, jnp.zeros((m,), dtype=v.dtype))
-
-    r = z0 + (a - b) @ Sl
+    a, b, _ = _compact_recurrences(
+        c, d_fn, M, rhol, valid, count, yy_last, v.dtype,
+        clamp_gamma, gamma_min, gamma_max,
+    )
+    r = z0_box["z0"] + (a - b) @ Sl
     return r[:n]

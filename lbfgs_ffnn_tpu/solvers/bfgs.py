@@ -149,8 +149,11 @@ def _build(problem: Problem, opts: BFGSOptions):
                 p, nmv_add = _solve_iterative(
                     lambda u: _factor_matvec(s.B, u), -s.g, opts
                 )
-                # the rank-2 update below costs one more factor matvec (Bs)
-                nmv_add = nmv_add + 1
+                # NOT counted: the rank-2 update's B s below. n_matvecs is
+                # defined as Krylov operator applications (types.py) and the
+                # dense-iterative mode's equally real `s.B @ step` update is
+                # outside its solve too — the modes must agree on identical
+                # mathematical work.
             else:
                 p, nmv_add = _solve_linear(s.B, -s.g, opts)
             dg0 = jnp.vdot(s.g, p)

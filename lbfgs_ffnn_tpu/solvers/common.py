@@ -66,14 +66,22 @@ def drive_chunks(run_chunk, state, args, total, counter, done, sync,
         return state, time_ms
 
     t0 = time.perf_counter()
+    cb_host = 0.0  # accumulated host time spent inside callbacks
     cur = run_chunk(state, *args)
     while True:
         nxt = run_chunk(cur, *args)  # speculative: dispatched before the sync
         k_now = counter(cur)         # blocks until chunk k is done on device
-        elapsed = time.perf_counter() - t0
+        # Exclude prior callbacks' host time from the cumulative column —
+        # the sequential path excludes it too (a checkpoint-saving callback
+        # must not inflate later chunks' TimeMs). Conservative: the device
+        # may keep running the speculative chunk during a callback, so a
+        # long callback can hide some overlapped compute, never add to it.
+        elapsed = time.perf_counter() - t0 - cb_host
         time_ms = time_ms.at[k_prev:k_now].set(elapsed * 1e3)
         if callback is not None:
+            tcb = time.perf_counter()
             callback(cur, elapsed)
+            cb_host += time.perf_counter() - tcb
         if k_now == k_prev or k_now >= total or done(cur):
             return cur, time_ms
         k_prev = k_now

@@ -168,7 +168,9 @@ def test_bfgs_matvec_counters():
                        storage="factors", solver_max_iters=200)
     mf = bfgs(prob, x0, opts=opts)
     it = int(mf.n_iters)
-    assert 2 * it <= int(mf.n_matvecs) <= it * (200 + 1)
+    # Krylov applications only — the rank-2 update's B s is deliberately
+    # uncounted so factors and dense-iterative agree on identical work.
+    assert it <= int(mf.n_matvecs) <= it * 200
     gm = bfgs(prob, x0, opts=opts._replace(linear_solver="gmres"))
     assert int(gm.n_matvecs) >= 2 * int(gm.n_iters)
 
