@@ -45,6 +45,11 @@ parser.add_argument("--bf16-ring", action="store_true",
                          "bfloat16 (half the ring HBM traffic; recursion "
                          "arithmetic stays f32 — TPU-only policy, no "
                          "reference counterpart)")
+parser.add_argument("--bf16-grad-input", action="store_true",
+                    help="add L-BFGS runs reading the input matrix at half "
+                         "width (bf16) in the accept-point dW1 GEMM only — "
+                         "forward/loss/line-search trials stay exactly f32 "
+                         "(TPU-native policy, no reference counterpart)")
 parser.add_argument("--bf16-compute", action="store_true",
                     help="add L-BFGS runs evaluating the objective with "
                          "bf16 MXU operands (f32 accumulation/params/loss; "
@@ -129,6 +134,14 @@ if args.bf16_ring:
             tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
             log_interval=1, two_loop_impl=two_loop,
             pair_dtype="bfloat16")))
+
+if args.bf16_grad_input:
+    for m in (10, 100):
+        runs.append(("lbfgs", UnifiedConfig(
+            name=f"{name}_LBFGS_m{m}_bf16gradin", max_iters=args.iters,
+            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
+            log_interval=1, two_loop_impl=two_loop,
+            grad_input_dtype="bfloat16")))
 
 if args.bf16_compute:
     for m in (10, 100):

@@ -92,6 +92,12 @@ class UnifiedConfig:
                                  # with f32 accumulation — ~2x matmul
                                  # throughput; params/activations/loss stay
                                  # f32. See objectives/mlp.py::mlp_apply)
+    grad_input_dtype: Optional[str] = None  # accept-point dW1 input-read
+                                 # dtype ("bfloat16": one persistent narrow
+                                 # copy of x feeds the backward's x^T dz1
+                                 # GEMM — half the dominant HBM read per
+                                 # L-BFGS iteration; forward/loss/trials
+                                 # stay exactly f32. objectives/mlp.py)
 
 
 @dataclasses.dataclass
@@ -139,13 +145,15 @@ class Launcher:
         self._bind_params(seed)
         return self
 
-    def _get_problem(self, compute_dtype: Optional[str] = None):
+    def _get_problem(self, compute_dtype: Optional[str] = None,
+                     grad_input_dtype: Optional[str] = None):
         # One Problem object per launcher per compute policy: solver jit
         # caches key on it, so warm-up and timed runs share the executable.
-        key = ("full", compute_dtype)
+        key = ("full", compute_dtype, grad_input_dtype)
         if key not in self._prob_cache:
             self._prob_cache[key] = mlp_problem(
-                self.spec, compute_dtype=compute_dtype
+                self.spec, compute_dtype=compute_dtype,
+                grad_input_dtype=grad_input_dtype,
             )
         return self._prob_cache[key]
 
@@ -199,7 +207,8 @@ class Launcher:
             t0 = time.perf_counter()
             if solver == "lbfgs":
                 result, time_ms = lbfgs_chunked(
-                    self._get_problem(config.compute_dtype), self.weights,
+                    self._get_problem(config.compute_dtype,
+                                      config.grad_input_dtype), self.weights,
                     aux=(self._x, self._y), opts=self._lbfgs_opts(config),
                     chunk=K,
                 )
@@ -219,7 +228,8 @@ class Launcher:
                 )
             elif solver == "gd":
                 result, time_ms = gd_chunked(
-                    self._get_problem(config.compute_dtype), self.weights,
+                    self._get_problem(config.compute_dtype,
+                                      config.grad_input_dtype), self.weights,
                     aux=(self._x, self._y), opts=self._gd_opts(config),
                     chunk=K,
                 )
@@ -369,12 +379,12 @@ class Launcher:
         N = int(x.shape[0])
 
         if solver == "gd":
-            prob = self._get_problem(c.compute_dtype)
+            prob = self._get_problem(c.compute_dtype, c.grad_input_dtype)
             opts = self._gd_opts(c)
             return lambda: gradient_descent(prob, w0, aux=(x, y), opts=opts)
 
         if solver == "lbfgs":
-            prob = self._get_problem(c.compute_dtype)
+            prob = self._get_problem(c.compute_dtype, c.grad_input_dtype)
             opts = self._lbfgs_opts(c)
             return lambda: lbfgs(prob, w0, aux=(x, y), opts=opts)
 

@@ -176,8 +176,20 @@ def mlp_loss(
 
 def mlp_problem(
     spec: MLPSpec, lam: float = 0.0, compute_dtype=None, remat: bool = False,
+    grad_input_dtype=None,
 ) -> Problem:
     """Full-batch Problem; ``aux = (x, y)``.
+
+    ``grad_input_dtype="bfloat16"`` halves the HBM read of the input matrix
+    in the accept-point gradient: ``Problem.prepare`` casts one persistent
+    bf16 copy of ``x`` per jitted solve (aux becomes ``(x, y, x_b16)``), and
+    ``vag_restrict`` feeds it to the dW1 = x^T dz1 GEMM — the only place the
+    raw input is read per L-BFGS iteration once the carried line prefix is
+    active. TPU's DEFAULT-precision f32 dot already rounds its operands to
+    bf16 for the MXU, so the products match the default path's to operand-
+    rounding level; the forward, loss, and every line-search trial stay
+    exactly f32. No reference counterpart (f32 cuBLAS reads f32,
+    src/cuda/network.cuh).
 
     ``remat=True`` wraps the loss in ``jax.checkpoint``: the backward pass
     recomputes activations instead of storing them — trades ~one extra
@@ -198,7 +210,7 @@ def mlp_problem(
     """
 
     def fun(w, aux):
-        x, y = aux
+        x, y = aux[0], aux[1]
         return mlp_loss(spec, w, x, y, lam, compute_dtype)
 
     if remat:
@@ -232,7 +244,7 @@ def mlp_problem(
         return 0.5 * jnp.sum(diff * diff) / n_batch
 
     def restrict(A, B, w, p, aux):
-        x, y = aux
+        x, y = aux[0], aux[1]
         w_rest = w[first_elems:]
         p_rest = p[first_elems:]
 
@@ -248,7 +260,7 @@ def mlp_problem(
         return value
 
     def line_fun(w, p, aux):
-        x, _ = aux
+        x = aux[0]
         return restrict(_first_affine(w, x), _first_affine(p, x), w, p, aux)
 
     def vag_restrict(A, B, w, p, aux):
@@ -256,8 +268,10 @@ def mlp_problem(
         the forward never recomputes ``x @ W1`` (z1 = A + alpha*B), and the
         first layer's gradient is assembled manually as dW1 = x^T dz1,
         db1 = sum(dz1) — the input matrix is read once (backward only)
-        instead of twice."""
-        x, y = aux
+        instead of twice (and at half width under ``grad_input_dtype``,
+        which supplies the prepared bf16 copy as ``aux[2]``)."""
+        x, y = aux[0], aux[1]
+        xg = aux[2] if len(aux) > 2 else x
 
         def value_and_grad_at(alpha):
             z1 = A + alpha * B
@@ -270,11 +284,11 @@ def mlp_problem(
             g_rest, dz1 = vjp_fn(jnp.ones_like(loss))
             if compute_dtype is not None:
                 gW1 = jnp.dot(
-                    x.T.astype(compute_dtype), dz1.astype(compute_dtype),
+                    xg.T.astype(compute_dtype), dz1.astype(compute_dtype),
                     preferred_element_type=x.dtype,
                 )
             else:
-                gW1 = jnp.dot(x.T, dz1, preferred_element_type=x.dtype)
+                gW1 = jnp.dot(xg.T, dz1, preferred_element_type=x.dtype)
             gb1 = jnp.sum(dz1, axis=0)
             g = jnp.concatenate([gW1.ravel(), gb1, g_rest])
             if lam:
@@ -298,7 +312,15 @@ def mlp_problem(
         vag_restrict=None if remat else vag_restrict,
     )
 
-    return make_problem(fun, line_fun=line_fun, line_prefix=line_prefix)
+    prepare = None
+    if grad_input_dtype is not None:
+        gid = jnp.dtype(grad_input_dtype)
+
+        def prepare(aux):
+            return (aux[0], aux[1], aux[0].astype(gid))
+
+    return make_problem(fun, line_fun=line_fun, line_prefix=line_prefix,
+                        prepare=prepare)
 
 
 def mlp_batch_problem(

@@ -37,7 +37,7 @@ from lbfgs_ffnn_tpu.solvers.common import (
     cached_jit_solve, finalize, init_history, lean_gate, record,
     wolfe_with_counters,
 )
-from lbfgs_ffnn_tpu.types import Problem, SolveResult
+from lbfgs_ffnn_tpu.types import Problem, SolveResult, prepared_aux
 
 
 class BFGSOptions(NamedTuple):
@@ -132,6 +132,7 @@ def _build(problem: Problem, opts: BFGSOptions):
     lean = lean_gate(problem, opts.ls_value_only)
 
     def solve(x0, aux, B0):
+        aux = prepared_aux(problem, aux)
         f0, g0 = problem.value_and_grad(x0, aux)
         loss_h, gnorm_h = init_history(opts.max_iters, x0.dtype)
         s0 = _State(

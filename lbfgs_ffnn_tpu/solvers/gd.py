@@ -24,7 +24,7 @@ from lbfgs_ffnn_tpu.solvers.common import (
     cached_jit_solve, drive_chunks, finalize, init_history, lean_gate,
     record, wolfe_with_counters,
 )
-from lbfgs_ffnn_tpu.types import Problem, SolveResult
+from lbfgs_ffnn_tpu.types import Problem, SolveResult, prepared_aux
 
 
 class GDOptions(NamedTuple):
@@ -129,6 +129,7 @@ def _build(problem: Problem, opts: GDOptions):
     body = _make_body(problem, opts)
 
     def solve(x0, aux):
+        aux = prepared_aux(problem, aux)
         s0 = _init_state(problem, opts, x0, aux)
         s = lax.while_loop(
             lambda s: _not_done(s, opts), lambda s: body(s, aux), s0
@@ -148,13 +149,14 @@ def gradient_descent(
 @functools.lru_cache(maxsize=256)
 def _cached_chunk_fns(problem, opts, chunk: int):
     def init(x0, aux):
-        return _init_state(problem, opts, x0, aux)
+        return _init_state(problem, opts, x0, prepared_aux(problem, aux))
 
     body = _make_body(problem, opts)
 
     def run_chunk(state, aux):
         # Bounded while_loop, not scan+cond (the cond identity branch
         # copies the whole carry per step — see lbfgs._cached_chunk_fns).
+        aux = prepared_aux(problem, aux)
         k_end = state.k + chunk
         return lax.while_loop(
             lambda s: _not_done(s, opts) & (s.k < k_end),

@@ -46,7 +46,7 @@ from lbfgs_ffnn_tpu.ops.two_loop import (
 from lbfgs_ffnn_tpu.solvers.common import (
     cached_jit_solve, drive_chunks, finalize, init_history, record,
 )
-from lbfgs_ffnn_tpu.types import Problem, SolveResult
+from lbfgs_ffnn_tpu.types import Problem, SolveResult, prepared_aux
 
 
 class LBFGSOptions(NamedTuple):
@@ -348,6 +348,7 @@ def _build(problem: Problem, opts: LBFGSOptions):
     body = _make_body(problem, opts)
 
     def solve(x0, aux):
+        aux = prepared_aux(problem, aux)
         s0 = _init_state(problem, opts, x0, aux)
         s = lax.while_loop(
             lambda s: _not_done(s, opts), lambda s: body(s, aux), s0
@@ -512,6 +513,7 @@ def _build_param_sharded(problem: Problem, opts: LBFGSOptions, mesh, axis: str):
     """
 
     def solve(x0, aux):
+        aux = prepared_aux(problem, aux)
         env = _sharded_env(problem, opts, mesh, axis, x0.shape[0])
         s0 = env.init(x0, aux)
         s = lax.while_loop(
@@ -555,11 +557,12 @@ def lbfgs(
 @functools.lru_cache(maxsize=256)
 def _cached_chunk_fns(problem, opts, chunk: int):
     def init(x0, aux):
-        return _init_state(problem, opts, x0, aux)
+        return _init_state(problem, opts, x0, prepared_aux(problem, aux))
 
     body = _make_body(problem, opts)
 
     def run_chunk(state, aux):
+        aux = prepared_aux(problem, aux)
         # A bounded while_loop, NOT scan+cond: a cond's identity branch
         # copies the whole carry (histories + the m x n ring) every step,
         # measured ~2.5x slower per iteration than the plain solve. This
@@ -582,7 +585,11 @@ def _cached_chunk_fns_sharded(problem, opts, mesh, axis, n: int, chunk: int):
     adapters close over it."""
     env = _sharded_env(problem, opts, mesh, axis, n)
 
+    def init(x0, aux):
+        return env.init(x0, prepared_aux(problem, aux))
+
     def run_chunk(state, aux):
+        aux = prepared_aux(problem, aux)
         k_end = state.k + chunk
         return lax.while_loop(
             lambda s: _not_done(s, opts) & (s.k < k_end),
@@ -590,7 +597,7 @@ def _cached_chunk_fns_sharded(problem, opts, mesh, axis, n: int, chunk: int):
             state,
         )
 
-    return jax.jit(env.init), jax.jit(run_chunk), env
+    return jax.jit(init), jax.jit(run_chunk), env
 
 
 def lbfgs_chunked(

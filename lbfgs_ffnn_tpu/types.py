@@ -84,6 +84,14 @@ class Problem(NamedTuple):
     # of recomputing a big matmul every iteration. L-BFGS uses it when
     # present; other solvers fall back to line_fun.
     line_prefix: Optional["LinePrefix"] = None
+    # Optional one-time aux preparation ``prepare(aux) -> aux``: applied by
+    # the full-batch solvers ONCE at the start of each jitted solve (and
+    # once per chunk in the chunked drivers), before any other callable sees
+    # ``aux``. Use for derived operands that must not be recomputed every
+    # iteration — e.g. the MLP's bfloat16 input copy for the backward's
+    # dW1 GEMV (grad_input_dtype), cast once instead of per accept-eval.
+    # All other callables must accept both the raw and the prepared shape.
+    prepare: Optional[Callable[[Any], Any]] = None
 
     def hvp(self, w: jax.Array, v: jax.Array, aux: Any = ()) -> jax.Array:
         """Exact Hessian-vector product via forward-over-reverse jvp."""
@@ -154,12 +162,20 @@ class SolveResult(NamedTuple):
                                            # (BFGS cg/gmres linear solves)
 
 
+def prepared_aux(problem: "Problem", aux: Any) -> Any:
+    """Apply the problem's one-time aux preparation (identity when absent).
+    Solvers call this at the top of each jitted solve / chunk program."""
+    prep = getattr(problem, "prepare", None)
+    return prep(aux) if prep is not None else aux
+
+
 def make_problem(
     fun: Callable[..., jax.Array],
     grad: Optional[Callable[..., jax.Array]] = None,
     hess: Optional[Callable[..., jax.Array]] = None,
     line_fun: Optional[Callable[..., Callable]] = None,
     line_prefix: Optional[LinePrefix] = None,
+    prepare: Optional[Callable[[Any], Any]] = None,
 ) -> Problem:
     """Build a :class:`Problem` from a scalar objective ``fun(w, aux)``.
 
@@ -199,7 +215,8 @@ def make_problem(
         def line_fun(w, p, aux, _lp=line_prefix):
             return _lp.restrict(_lp.init(w, aux), _lp.direction(p, aux), w, p, aux)
     return Problem(fun=fun, grad=grad, value_and_grad=value_and_grad,
-                   hess=hess, line_fun=line_fun, line_prefix=line_prefix)
+                   hess=hess, line_fun=line_fun, line_prefix=line_prefix,
+                   prepare=prepare)
 
 
 def make_batch_problem(

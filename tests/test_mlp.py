@@ -296,3 +296,71 @@ def test_mlp_remat_problem_has_no_vag_restrict():
     spec = mlp_spec([7, 5, 3], ["relu", "linear"])
     assert mlp_problem(spec).line_prefix.vag_restrict is not None
     assert mlp_problem(spec, remat=True).line_prefix.vag_restrict is None
+
+
+def test_mlp_grad_input_dtype():
+    """grad_input_dtype='bfloat16': Problem.prepare builds the narrow input
+    copy once; vag_restrict's dW1 uses it (gradient within bf16 operand-
+    rounding of the f32 one) while every forward/loss value stays EXACTLY
+    the f32 path's (only the backward's input read is narrowed)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+    from lbfgs_ffnn_tpu.types import prepared_aux
+
+    spec = mlp_spec([9, 6, 3], ["relu", "linear"])
+    prob_f = mlp_problem(spec)
+    prob_b = mlp_problem(spec, grad_input_dtype="bfloat16")
+    assert prob_f.prepare is None and prob_b.prepare is not None
+
+    w = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    p = 0.1 * jax.random.normal(jax.random.PRNGKey(1), w.shape, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (32, 9), dtype=jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(3), (32, 3), dtype=jnp.float32)
+    aux = (x, y)
+    paux = prepared_aux(prob_b, aux)
+    assert len(paux) == 3 and paux[2].dtype == jnp.bfloat16
+
+    # forward and trial values: bitwise-identical to the f32 problem
+    np.testing.assert_array_equal(
+        np.asarray(prob_b.fun(w, paux)), np.asarray(prob_f.fun(w, aux))
+    )
+    lpf, lpb = prob_f.line_prefix, prob_b.line_prefix
+    va_f = lpf.restrict(lpf.init(w, aux), lpf.direction(p, aux), w, p, aux)
+    va_b = lpb.restrict(lpb.init(w, paux), lpb.direction(p, paux), w, p, paux)
+    np.testing.assert_array_equal(np.asarray(va_b(0.5)), np.asarray(va_f(0.5)))
+
+    # accept-point gradient: dW1 from the bf16 copy, everything else exact
+    vag_f = lpf.vag_restrict(lpf.init(w, aux), lpf.direction(p, aux), w, p, aux)
+    vag_b = lpb.vag_restrict(lpb.init(w, paux), lpb.direction(p, paux), w, p, paux)
+    f_f, g_f = vag_f(jnp.float32(0.5))
+    f_b, g_b = vag_b(jnp.float32(0.5))
+    np.testing.assert_array_equal(np.asarray(f_b), np.asarray(f_f))
+    n1 = 9 * 6  # first-layer weight block: bf16 operand rounding only
+    np.testing.assert_allclose(np.asarray(g_b[:n1]), np.asarray(g_f[:n1]),
+                               rtol=2e-2, atol=2e-3)
+    # bias + rest layers: untouched by the narrow read
+    np.testing.assert_array_equal(np.asarray(g_b[n1:]), np.asarray(g_f[n1:]))
+
+
+def test_lbfgs_grad_input_dtype_trains():
+    """Solver-level: lbfgs with the narrow backward input read converges to
+    the same neighborhood as the f32 run (the option perturbs only dW1 at
+    operand-rounding level; line-search values are bitwise f32)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+    from lbfgs_ffnn_tpu.solvers import LBFGSOptions, lbfgs
+
+    rng = np.random.default_rng(7)
+    X = jnp.asarray(rng.normal(size=(256, 16)), jnp.float32)
+    Y = jax.nn.one_hot(jnp.asarray(rng.integers(0, 4, 256)), 4,
+                       dtype=jnp.float32)
+    spec = mlp_spec([16, 32, 4], ["relu", "linear"])
+    w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    opts = LBFGSOptions(max_iters=60, m=10)
+    res_f = lbfgs(mlp_problem(spec), w0, (X, Y), opts)
+    res_b = lbfgs(mlp_problem(spec, grad_input_dtype="bfloat16"), w0, (X, Y), opts)
+    assert float(res_b.final_loss) < 1.15 * float(res_f.final_loss) + 1e-3
