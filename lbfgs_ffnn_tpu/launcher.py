@@ -364,6 +364,7 @@ class Launcher:
             hvp_batch_size=c.b_H_param if c.b_H_param > 0 else c.batch_size // 2,
             step_size=c.learning_rate, seed=c.seed,
             two_loop_impl=c.two_loop_impl,
+            pair_dtype=c.pair_dtype,
         )
 
     def _metric_args(self, c: UnifiedConfig) -> tuple:

@@ -86,6 +86,13 @@ class SLBFGSOptions(NamedTuple):
     curvature_eps: float = 1e-10
     curvature_rel_eps: float = 0.0  # >0: |y^T s| > rel_eps*||y||*||s|| gate
     two_loop_impl: str = "xla"  # "xla" | "pallas" | "compact"
+    pair_dtype: str | None = None  # (S, Y) ring storage dtype, as in
+                                # LBFGSOptions.pair_dtype: "bfloat16" halves
+                                # ring HBM + two-loop streaming traffic;
+                                # rho/gamma/recursion arithmetic stay in the
+                                # solver dtype. The ring is replicated under
+                                # the data-parallel mesh mode, so it applies
+                                # there unchanged.
     metric_fn: object = None    # optional (w, x, y) -> scalar per-epoch metric
 
 
@@ -583,7 +590,8 @@ def _init_state(opts: SLBFGSOptions, w0: jax.Array, x, y, margs=()) -> _State:
     return _State(
         epoch=jnp.int32(0),
         w=w0,
-        hist=empty_history_state(opts.history, n, w0.dtype),
+        hist=empty_history_state(opts.history, n, w0.dtype,
+                                 pair_dtype=opts.pair_dtype),
         u_prev=jnp.zeros_like(w0),
         has_u=jnp.array(False),
         stop=jnp.array(False),

@@ -240,3 +240,28 @@ def test_gd_sgd_chunked_resume():
     resumed_s, _ = sgd_chunked(prob_b, None, x, y, sopts, chunk=3,
                                resume_state=cap["s"])
     np.testing.assert_array_equal(np.asarray(resumed_s.x), np.asarray(full_s.x))
+
+
+def test_slbfgs_pair_dtype_bf16():
+    """SLBFGSOptions(pair_dtype='bfloat16'): the narrow curvature ring
+    trains the same small problem to a comparable loss (recursion arithmetic
+    stays in the solver dtype; only stored rows are rounded)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_batch_problem, mlp_init, mlp_spec
+    from lbfgs_ffnn_tpu.solvers import SLBFGSOptions, slbfgs
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(256, 12)), jnp.float32)
+    y = jax.nn.one_hot(jnp.asarray(rng.integers(0, 4, 256)), 4,
+                       dtype=jnp.float32)
+    spec = mlp_spec([12, 16, 4], ["tanh", "linear"])
+    bp = mlp_batch_problem(spec, lam=1e-4)
+    w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    opts = SLBFGSOptions(epochs=6, tol=1e-12, history=4, L=2,
+                         batch_size=32, step_size=0.05)
+    res_f = slbfgs(bp, w0, x, y, opts)
+    res_b = slbfgs(bp, w0, x, y, opts._replace(pair_dtype="bfloat16"))
+    assert res_b.x.dtype == jnp.float32
+    assert float(res_b.final_loss) < 1.15 * float(res_f.final_loss) + 1e-3
