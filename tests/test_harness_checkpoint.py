@@ -264,3 +264,46 @@ def test_lbfgs_chunked_resume_recomputes_stale_prefix(tmp_path):
     np.testing.assert_allclose(
         np.asarray(res_resumed.x), np.asarray(res_full.x), rtol=1e-10
     )
+
+
+def test_lbfgs_chunked_resume_with_grad_input_dtype(tmp_path):
+    """Kill-and-resume on an MLP problem with grad_input_dtype='bfloat16':
+    the resume path recomputes the carried prefix from the RAW aux while
+    each chunk prepares the bf16 input copy itself — both shapes must
+    coexist, and the resumed trajectory must match the uninterrupted run."""
+    import jax.numpy as jnp
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+    from lbfgs_ffnn_tpu.solvers.lbfgs import lbfgs_chunked
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(128, 10)), jnp.float32)
+    y = jax.nn.one_hot(jnp.asarray(rng.integers(0, 3, 128)), 3,
+                       dtype=jnp.float32)
+    spec = mlp_spec([10, 8, 3], ["relu", "linear"])
+    prob = mlp_problem(spec, grad_input_dtype="bfloat16")
+    w0 = mlp_init(spec, jax.random.PRNGKey(2), dtype=jnp.float32)
+    opts = LBFGSOptions(max_iters=24, tol=1e-12, m=4)
+
+    res_full, _ = lbfgs_chunked(prob, w0, aux=(x, y), opts=opts, chunk=6)
+
+    saved = {}
+
+    def save_at_12(state, elapsed):
+        if int(state.k) == 12 and not saved:
+            save_checkpoint(tmp_path / "mid", state)
+            saved["state"] = jax.tree_util.tree_map(jnp.zeros_like, state)
+
+    lbfgs_chunked(prob, w0, aux=(x, y), opts=opts, chunk=6, callback=save_at_12)
+    assert saved
+    restored = restore_checkpoint(tmp_path / "mid", saved["state"])
+    res_res, _ = lbfgs_chunked(prob, None, aux=(x, y), opts=opts, chunk=6,
+                               resume_state=restored)
+    # The resumed prefix is recomputed fresh (init(x, aux)) while the
+    # uninterrupted run carries A += alpha*B drift — documented rounding-
+    # level divergence (lbfgs_chunked docstring), so parity is trajectory-
+    # level, not bitwise.
+    np.testing.assert_allclose(np.asarray(res_res.x), np.asarray(res_full.x),
+                               rtol=2e-3, atol=1e-5)
+    assert int(res_res.n_iters) == int(res_full.n_iters)
+    np.testing.assert_allclose(float(res_res.final_loss),
+                               float(res_full.final_loss), rtol=1e-4)
