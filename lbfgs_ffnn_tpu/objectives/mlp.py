@@ -313,7 +313,10 @@ def mlp_problem(
     )
 
     prepare = None
-    if grad_input_dtype is not None:
+    if grad_input_dtype is not None and not remat:
+        # Only vag_restrict consumes the narrow copy; under remat it is
+        # disabled (see LinePrefix above), so preparing the copy would be
+        # pure HBM dead weight.
         gid = jnp.dtype(grad_input_dtype)
 
         def prepare(aux):
