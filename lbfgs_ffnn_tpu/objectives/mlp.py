@@ -271,7 +271,9 @@ def mlp_problem(
         instead of twice (and at half width under ``grad_input_dtype``,
         which supplies the prepared bf16 copy as ``aux[2]``)."""
         x, y = aux[0], aux[1]
-        xg = aux[2] if len(aux) > 2 else x
+        # aux[2] is OUR prepared copy only when this problem attached a
+        # prepare (a caller-supplied 3-element aux must not be misread).
+        xg = aux[2] if (grad_input_dtype is not None and len(aux) > 2) else x
 
         def value_and_grad_at(alpha):
             z1 = A + alpha * B
