@@ -83,7 +83,8 @@ class UnifiedConfig:
                                  # "armijo_batched" = spec_k-candidate
                                  # speculative ladder (TPU-only policy)
     ls_spec_k: int = 8           # candidates per batched forward
-    pair_dtype: Optional[str] = None  # L-BFGS ring storage dtype override
+    pair_dtype: Optional[str] = None  # L-BFGS/S-LBFGS curvature-ring
+                                 # storage dtype override
                                  # ("bfloat16" halves the curvature ring's
                                  # HBM footprint + two-loop streaming
                                  # traffic; recursion arithmetic stays f32)

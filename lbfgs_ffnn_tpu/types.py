@@ -89,7 +89,7 @@ class Problem(NamedTuple):
     # once per chunk in the chunked drivers), before any other callable sees
     # ``aux``. Use for derived operands that must not be recomputed every
     # iteration — e.g. the MLP's bfloat16 input copy for the backward's
-    # dW1 GEMV (grad_input_dtype), cast once instead of per accept-eval.
+    # dW1 GEMM (grad_input_dtype), cast once instead of per accept-eval.
     # All other callables must accept both the raw and the prepared shape.
     prepare: Optional[Callable[[Any], Any]] = None
 
