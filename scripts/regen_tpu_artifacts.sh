@@ -15,5 +15,5 @@ run tpu_mnist_784_128_10        --style cuda --dataset mnist   --iters 1000 --ba
 run tpu_mnist_cpu_style_s5000   --style cpu  --dataset mnist   --iters 1000
 run tpu_fashion_784_128_10      --style cuda --dataset fashion --iters 1000
 run tpu_fashion_cpu_style_s5000 --style cpu  --dataset fashion --iters 500
-run tpu_fashion_deep            --style cuda --dataset fashion --iters 1000 --deep --bf16-ring
+run tpu_fashion_deep            --style cuda --dataset fashion --iters 1000 --deep --bf16-ring --bf16-grad-input
 run tpu_fashion_deep_cpu_style  --style cpu  --dataset fashion --iters 500 --deep
