@@ -159,6 +159,7 @@ if args.batched_ls:
             log_interval=1, two_loop_impl=two_loop,
             line_search="armijo_batched")))
 
+meta_runs = []
 for solver, cfg in runs:
     if args.record_accuracy and solver in ("sgd", "slbfgs"):
         cfg.record_accuracy = True
@@ -169,3 +170,52 @@ for solver, cfg in runs:
     print(f"Running {cfg.name} ({solver})...")
     launcher.train(solver, cfg)
     launcher.test()
+    meta_runs.append({"name": cfg.name, "solver": solver,
+                      "max_iters": cfg.max_iters,
+                      "timed_chunks": cfg.timed_chunks})
+
+
+def _write_run_meta():
+    """Provenance + TimeMs-semantics note next to the history CSVs.
+
+    The CSV format itself mirrors the reference's
+    (src/utils/recorder.hpp: Iteration,Loss,GradNorm,TimeMs columns) and
+    cannot carry comments, so the measurement granularity lives here:
+    with timed_chunks=K, TimeMs is the measured cumulative wall time at
+    chunk boundaries — all K rows of a chunk share that boundary's
+    timestamp (step-shaped, honest; never synthesized per-row)."""
+    import json
+    import subprocess
+    import time as _time
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        commit = subprocess.run(
+            ["git", "-C", repo, "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10).stdout.strip() or None
+    except Exception:
+        commit = None
+    dev = jax.devices()[0]
+    meta = {
+        "cmd": "python " + " ".join(sys.argv),
+        "git_commit": commit,
+        "date_utc": _time.strftime("%Y-%m-%d %H:%M:%S", _time.gmtime()),
+        "backend": jax.default_backend(),
+        "device": f"{dev.platform}:{getattr(dev, 'device_kind', '?')}",
+        "two_loop_impl": two_loop,
+        "train_size": train_size,
+        "synthetic_images": bool(ds.synthetic_images),
+        "timems_semantics": (
+            "Cumulative wall time MEASURED at chunk boundaries (pipelined "
+            "chunk driver: next chunk dispatched before syncing the current "
+            "one, so boundary round-trips overlap device compute); the "
+            "timed_chunks rows within a chunk share one timestamp. "
+            "timed_chunks=0 means TimeMs is the single whole-solve wall "
+            "time on the last row."),
+        "runs": meta_runs,
+    }
+    with open("run_meta.json", "w") as f:
+        json.dump(meta, f, indent=2)
+        f.write("\n")
+
+
+_write_run_meta()

@@ -275,15 +275,17 @@ def _kernel_blocked(meta_ref, rho_ref, gamma_ref, v_hbm, s_hbm, y_hbm,
         return chunk_copy, is_last
 
     def start_fetch(slot, t):
+        # decode(t) sees a concrete int for the pipeline-priming stage 0, so
+        # predicates must negate via logical_not, not `~` (deprecated on bool)
         _, _, c, i, _, use_s = decode(t)
-        for sel, src in ((use_s, s_hbm), (~use_s, y_hbm)):
+        for sel, src in ((use_s, s_hbm), (jnp.logical_not(use_s), y_hbm)):
             chunk_copy, is_last = _dma(slot, src.at[i], c)
             if tail == cblk:
                 @pl.when(sel)
                 def _():
                     chunk_copy(True).start()
             else:
-                @pl.when(sel & ~is_last)
+                @pl.when(sel & jnp.logical_not(is_last))
                 def _():
                     chunk_copy(True).start()
 
@@ -293,14 +295,14 @@ def _kernel_blocked(meta_ref, rho_ref, gamma_ref, v_hbm, s_hbm, y_hbm,
 
     def wait_fetch(slot, t):
         _, _, c, i, _, use_s = decode(t)
-        for sel, src in ((use_s, s_hbm), (~use_s, y_hbm)):
+        for sel, src in ((use_s, s_hbm), (jnp.logical_not(use_s), y_hbm)):
             chunk_copy, is_last = _dma(slot, src.at[i], c)
             if tail == cblk:
                 @pl.when(sel)
                 def _():
                     chunk_copy(True).wait()
             else:
-                @pl.when(sel & ~is_last)
+                @pl.when(sel & jnp.logical_not(is_last))
                 def _():
                     chunk_copy(True).wait()
 
