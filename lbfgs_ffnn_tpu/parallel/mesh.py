@@ -16,32 +16,52 @@ from jax.sharding import AxisType, Mesh
 
 
 def make_mesh(
-    n_devices: Optional[int] = None,
-    axis_name: str = "data",
+    n_devices: Optional[int | Sequence[int]] = None,
+    axis_name: str | Sequence[str] = "data",
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
-    """1-D data-parallel mesh over the first ``n_devices`` devices.
+    """Device mesh over the first ``prod(n_devices)`` devices.
+
+    1-D by default (``make_mesh(8)`` -> an 8-way ``"data"`` axis). Pass a
+    shape tuple and matching axis names for an N-D mesh — e.g.
+    ``make_mesh((2, 4), ("data", "model"))`` runs the batch-sharded
+    objective over the ``data`` axis and the parameter-sharded solver state
+    over the ``model`` axis of the same program (``lbfgs(mesh=,
+    shard_axis="model")`` with the aux data sharded ``P("data")``; the
+    solver only constrains the model axis, so GSPMD partitions the
+    objective over both).
 
     Axes are ``Auto``-typed: solvers run unchanged and GSPMD propagates the
     batch sharding / inserts the gradient all-reduce. On a pod slice,
-    ``jax.make_mesh`` picks an ICI-contiguous order so the psum rides ICI,
-    not DCN.
+    ``jax.make_mesh`` picks an ICI-contiguous order so psums ride ICI, not
+    DCN.
     """
+    import math
+
+    import numpy as np
+
+    shape = ((n_devices,) if n_devices is None or isinstance(n_devices, int)
+             else tuple(n_devices))
+    names = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
+    if len(shape) != len(names):
+        raise ValueError(f"mesh shape {shape} has {len(shape)} axes but "
+                         f"{len(names)} axis names {names}")
+    types = (AxisType.Auto,) * len(names)
     if devices is not None:
         devs = list(devices)
-        if n_devices is not None:
-            devs = devs[:n_devices]
-        import numpy as np
-
-        return Mesh(np.asarray(devs), (axis_name,), axis_types=(AxisType.Auto,))
-    n = n_devices if n_devices is not None else len(jax.devices())
+        if shape != (None,):
+            devs = devs[: math.prod(shape)]
+        return Mesh(np.asarray(devs).reshape([-1] + list(shape[1:])),
+                    names, axis_types=types)
+    if shape == (None,):
+        shape = (len(jax.devices()),)
+    n = math.prod(shape)
     if n > len(jax.devices()):
         raise ValueError(f"requested {n} devices, have {len(jax.devices())}")
     if n == len(jax.devices()):
-        return jax.make_mesh((n,), (axis_name,), axis_types=(AxisType.Auto,))
-    import numpy as np
-
-    return Mesh(np.asarray(jax.devices()[:n]), (axis_name,), axis_types=(AxisType.Auto,))
+        return jax.make_mesh(shape, names, axis_types=types)
+    return Mesh(np.asarray(jax.devices()[:n]).reshape(shape),
+                names, axis_types=types)
 
 
 def distributed_init(

@@ -660,3 +660,59 @@ def test_lbfgs_param_sharded_bf16_ring_full_solver(impl):
     np.testing.assert_allclose(
         float(res.final_loss), float(ref.final_loss), rtol=1e-3
     )
+
+
+def test_lbfgs_dp_tp_2d_mesh():
+    """Combined data+model parallelism on ONE 2-D mesh: the dataset is
+    sharded over the ``data`` axis while the solver state (iterate,
+    gradient, curvature ring) is sharded over the ``model`` axis. The
+    solver only constrains the model axis, so GSPMD partitions the
+    objective over both — the batch-sharded gradient's all-reduce rides
+    the data axis, the two-loop's partial dots psum over the model axis.
+    f64 trajectory matches the single-device run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices for a (2, 4) mesh")
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    assert dict(mesh.shape) == {"data": 2, "model": 4}
+
+    spec = mlp_spec([12, 16, 4], ["tanh", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(5), dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(6), (64, 12), dtype=jnp.float64)
+    y = jax.nn.one_hot(jnp.arange(64) % 4, 4, dtype=jnp.float64)
+    opts = LBFGSOptions(max_iters=12, tol=1e-14, m=6, line_search="armijo",
+                        prefix_vag=False, ls_value_only=False)
+
+    ref = lbfgs(prob, w0, aux=(x, y), opts=opts)
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+    res = lbfgs(prob, w0, aux=(xs, ys), opts=opts, mesh=mesh,
+                shard_axis="model")
+
+    assert int(res.n_iters) == int(ref.n_iters) == 12
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-10)
+    np.testing.assert_allclose(
+        np.asarray(res.loss_history[:12]), np.asarray(ref.loss_history[:12]),
+        rtol=1e-10,
+    )
+    assert int(res.n_fevals) == int(ref.n_fevals)  # same trial sequence
+
+    # The collective-lean compact direction, bf16 ring, and bf16 backward
+    # input read all compose with the 2-D mesh (production f32 policies).
+    res2 = lbfgs(
+        mlp_problem(spec, grad_input_dtype="bfloat16"),
+        w0.astype(jnp.float32),
+        aux=(xs.astype(jnp.float32), ys.astype(jnp.float32)),
+        opts=opts._replace(max_iters=5, two_loop_impl="compact",
+                           pair_dtype="bfloat16"),
+        mesh=mesh, shard_axis="model",
+    )
+    assert int(res2.n_iters) == 5
+    assert bool(jnp.isfinite(res2.x).all())
+    assert float(res2.final_loss) < float(prob.fun(w0.astype(jnp.float32),
+                                                   (xs.astype(jnp.float32),
+                                                    ys.astype(jnp.float32))))
