@@ -716,3 +716,59 @@ def test_lbfgs_dp_tp_2d_mesh():
     assert float(res2.final_loss) < float(prob.fun(w0.astype(jnp.float32),
                                                    (xs.astype(jnp.float32),
                                                     ys.astype(jnp.float32))))
+
+
+def test_lbfgs_dp_tp_chunked_resume(tmp_path):
+    """The long-run story on the 2-D mesh: lbfgs_chunked runs the identical
+    dp x tp body in measured chunks, and a mid-run checkpoint resumes onto
+    a FRESH 2-D mesh bitwise."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lbfgs_ffnn_tpu.checkpoint import restore_checkpoint, save_checkpoint
+    from lbfgs_ffnn_tpu.solvers.lbfgs import lbfgs_chunked
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices for a (2, 4) mesh")
+
+    spec = mlp_spec([12, 16, 4], ["tanh", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(5), dtype=jnp.float64)
+    x = jax.random.normal(jax.random.PRNGKey(6), (64, 12), dtype=jnp.float64)
+    y = jax.nn.one_hot(jnp.arange(64) % 4, 4, dtype=jnp.float64)
+    opts = LBFGSOptions(max_iters=12, tol=1e-14, m=6, line_search="armijo",
+                        prefix_vag=False, ls_value_only=False)
+
+    mesh = make_mesh((2, 4), ("data", "model"))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ys = jax.device_put(y, NamedSharding(mesh, P("data")))
+
+    res_full, _ = lbfgs_chunked(prob, w0, aux=(xs, ys), opts=opts, chunk=4,
+                                mesh=mesh)
+    ref = lbfgs(prob, w0, aux=(xs, ys), opts=opts, mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(res_full.x), np.asarray(ref.x))
+
+    saved = {}
+
+    def save_at_8(state, elapsed):
+        if int(state.k) == 8 and not saved:
+            save_checkpoint(tmp_path / "mid2d", state)
+            saved["template"] = jax.tree_util.tree_map(
+                lambda a: np.zeros(a.shape, a.dtype), state
+            )
+
+    lbfgs_chunked(prob, w0, aux=(xs, ys), opts=opts, chunk=4, mesh=mesh,
+                  callback=save_at_8)
+    assert saved, "checkpoint callback never fired"
+    restored = restore_checkpoint(tmp_path / "mid2d", saved["template"])
+    assert int(restored.k) == 8
+
+    fresh = make_mesh((2, 4), ("data", "model"))
+    xs2 = jax.device_put(x, NamedSharding(fresh, P("data")))
+    ys2 = jax.device_put(y, NamedSharding(fresh, P("data")))
+    res_resumed, _ = lbfgs_chunked(
+        prob, None, aux=(xs2, ys2), opts=opts, chunk=4, mesh=fresh,
+        resume_state=restored, n_params=int(w0.shape[0]),
+    )
+    np.testing.assert_array_equal(np.asarray(res_resumed.x),
+                                  np.asarray(res_full.x))
+    assert int(res_resumed.n_iters) == int(res_full.n_iters)
