@@ -300,3 +300,111 @@ def test_two_process_slbfgs_global_sampling_matches_single_process(tmp_path):
     np.testing.assert_allclose(
         np.asarray(res.loss_history[:3]), lh_mp, rtol=1e-9
     )
+
+
+_DPTP_WORKER = r"""
+import os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+pid = int(sys.argv[1]); n = int(sys.argv[2]); port = sys.argv[3]
+
+sys.path.insert(0, os.getcwd())
+from lbfgs_ffnn_tpu.parallel import distributed_init, make_mesh
+
+distributed_init(coordinator_address=f"localhost:{port}",
+                 num_processes=n, process_id=pid)
+assert jax.process_count() == n, jax.process_count()
+assert jax.device_count() == 4 * n, jax.device_count()
+
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import multihost_utils
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+from lbfgs_ffnn_tpu.solvers import LBFGSOptions, lbfgs
+
+spec = mlp_spec([6, 8, 3], ["relu", "linear"])
+prob = mlp_problem(spec)
+w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+
+rng = np.random.default_rng(42)
+X = rng.normal(size=(32, 6))
+Y = np.eye(3)[np.arange(32) % 3].astype(np.float64)
+x_local = jnp.asarray(X[pid * 16:(pid + 1) * 16])
+y_local = jnp.asarray(Y[pid * 16:(pid + 1) * 16])
+
+# 2-D mesh: the data axis crosses the PROCESS boundary (row p = process
+# p's four local devices), the model axis lives inside each process.
+mesh = make_mesh((n, 4), ("data", "model"))
+gx = multihost_utils.host_local_array_to_global_array(x_local, mesh, P("data"))
+gy = multihost_utils.host_local_array_to_global_array(y_local, mesh, P("data"))
+
+res = lbfgs(prob, w0, aux=(gx, gy),
+            opts=LBFGSOptions(max_iters=15, tol=1e-12, m=5,
+                              line_search="armijo"),
+            mesh=mesh, shard_axis="model")
+
+rep = jax.jit(lambda a: a, out_shardings=NamedSharding(mesh, P()))(res.x)
+x_np = np.asarray(rep.addressable_data(0))
+print("RESULT %d %d %.12e %.12e"
+      % (pid, int(res.n_iters), float(res.final_loss),
+         float(np.abs(x_np).sum())), flush=True)
+"""
+
+
+def test_two_process_dp_tp_lbfgs(tmp_path):
+    """Multi-host dp x tp: 2 OS processes x 4 virtual local devices form a
+    (2, 4) global mesh — data sharded across the process boundary (gradient
+    all-reduce over gloo), solver state sharded over each process's local
+    model axis. Matches the single-process unsharded run."""
+    worker = tmp_path / "dptp_worker.py"
+    worker.write_text(_DPTP_WORKER)
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(i), "2", str(port)],
+            cwd=str(Path(__file__).resolve().parent.parent),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for i in range(2)
+    ]
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out[-2000:]}\n{err[-4000:]}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, iters, loss, xsum = line.split()
+                results[int(pid)] = (int(iters), float(loss), float(xsum))
+    assert set(results) == {0, 1}
+    assert results[0][0] == results[1][0]
+    np.testing.assert_allclose(results[0][1], results[1][1], rtol=1e-12)
+    np.testing.assert_allclose(results[0][2], results[1][2], rtol=1e-12)
+
+    # Single-process oracle on the concatenated data.
+    import os
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+    from lbfgs_ffnn_tpu.solvers import LBFGSOptions, lbfgs
+
+    spec = mlp_spec([6, 8, 3], ["relu", "linear"])
+    prob = mlp_problem(spec)
+    w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float64)
+    rng = np.random.default_rng(42)
+    X = jnp.asarray(rng.normal(size=(32, 6)))
+    Y = jnp.asarray(np.eye(3)[np.arange(32) % 3])
+    ref = lbfgs(prob, w0, aux=(X, Y),
+                opts=LBFGSOptions(max_iters=15, tol=1e-12, m=5,
+                                  line_search="armijo"))
+    assert int(ref.n_iters) == results[0][0]
+    np.testing.assert_allclose(results[0][1], float(ref.final_loss),
+                               rtol=1e-9)
+    np.testing.assert_allclose(results[0][2],
+                               float(jnp.abs(ref.x).sum()), rtol=1e-9)
