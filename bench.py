@@ -128,6 +128,41 @@ def main():
     except Exception as e:  # supplementary must never kill the headline
         log(f"S-LBFGS supplementary failed: {e}")
 
+    # ---- supplementary: deep-net L-BFGS m=100 (reference
+    # main_gpu_deep.cpp / BASELINE.md: 19.4 ms/iter on the 784-256-128-64-10
+    # Fashion net), f32 vs the TPU-native bf16 curvature ring + bf16
+    # backward-input read (forward/loss/trials stay exactly f32) ----
+    try:
+        from lbfgs_ffnn_tpu.data.datasets import load_fashion_mnist
+
+        dsd = load_fashion_mnist(train_size=n_train, test_size=10000)
+        xd, yd = jnp.asarray(dsd.train_x), jnp.asarray(dsd.train_y)
+        dspec = mlp_spec([784, 256, 128, 64, 10],
+                         ["relu", "relu", "relu", "linear"])
+        dw0s = [mlp_init(dspec, jax.random.PRNGKey(7 + i), dtype=jnp.float32)
+                for i in range(2 if QUICK else 3)]
+        dbase = LBFGSOptions(max_iters=iters, tol=1e-12, m=100,
+                             line_search="armijo", ls_max_iters=20,
+                             two_loop_impl=impl)
+        for tag, dprob, dopts in (
+            ("f32", mlp_problem(dspec), dbase),
+            ("bf16 ring+gradin",
+             mlp_problem(dspec, grad_input_dtype="bfloat16"),
+             dbase._replace(pair_dtype="bfloat16")),
+        ):
+            def run_deep(w0, dprob=dprob, dopts=dopts):
+                return lbfgs(dprob, w0, aux=(xd, yd), opts=dopts)
+
+            wd, nd, rd = time_solve(run_deep, dw0s)
+            log(
+                f"deep 784-256-128-64-10 L-BFGS m=100 [{tag}] N={n_train}: "
+                f"{nd} iters in {wd:.3f}s -> {wd * 1e3 / max(nd, 1):.3f} "
+                f"ms/iter (reference GPU: 19.4 ms/iter), "
+                f"loss {float(rd.final_loss):.5g}"
+            )
+    except Exception as e:
+        log(f"deep-net supplementary failed: {e}")
+
     # ---- supplementary: fused two-loop kernel microbenchmark (us/call) ----
     try:
         import numpy as np
