@@ -50,6 +50,12 @@ parser.add_argument("--bf16-grad-input", action="store_true",
                          "width (bf16) in the accept-point dW1 GEMM only — "
                          "forward/loss/line-search trials stay exactly f32 "
                          "(TPU-native policy, no reference counterpart)")
+parser.add_argument("--bf16-prefix", action="store_true",
+                    help="add L-BFGS variants storing the carried line "
+                         "prefix (A = x@W1+b1 and per-iteration B) in bf16 "
+                         "— halves the trial/accept prefix HBM traffic; "
+                         "arithmetic stays f32 with an exact re-anchor "
+                         "every 16 iterations")
 parser.add_argument("--bf16-compute", action="store_true",
                     help="add L-BFGS runs evaluating the objective with "
                          "bf16 MXU operands (f32 accumulation/params/loss; "
@@ -142,6 +148,14 @@ if args.bf16_grad_input:
             tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
             log_interval=1, two_loop_impl=two_loop,
             grad_input_dtype="bfloat16")))
+
+if args.bf16_prefix:
+    for m in (10, 100):
+        runs.append(("lbfgs", UnifiedConfig(
+            name=f"{name}_LBFGS_m{m}_bf16prefix", max_iters=args.iters,
+            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
+            log_interval=1, two_loop_impl=two_loop,
+            prefix_dtype="bfloat16")))
 
 if args.bf16_compute:
     for m in (10, 100):

@@ -93,6 +93,13 @@ class UnifiedConfig:
                                  # with f32 accumulation — ~2x matmul
                                  # throughput; params/activations/loss stay
                                  # f32. See objectives/mlp.py::mlp_apply)
+    prefix_dtype: Optional[str] = None  # L-BFGS carried line-prefix storage
+                                 # dtype ("bfloat16" halves the per-trial
+                                 # (A, B) reads, B's write, and the accept
+                                 # A += alpha*B axpy; arithmetic stays f32
+                                 # and the prefix is re-anchored exactly
+                                 # every 16 iterations — see
+                                 # solvers.lbfgs.LBFGSOptions.prefix_dtype)
     grad_input_dtype: Optional[str] = None  # accept-point dW1 input-read
                                  # dtype ("bfloat16": one persistent narrow
                                  # copy of x feeds the backward's x^T dz1
@@ -330,6 +337,7 @@ class Launcher:
             ls_spec_k=c.ls_spec_k,
             two_loop_impl=c.two_loop_impl,
             pair_dtype=c.pair_dtype,
+            prefix_dtype=c.prefix_dtype,
         )
 
     def _gd_opts(self, c: UnifiedConfig) -> GDOptions:

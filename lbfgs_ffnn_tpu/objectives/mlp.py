@@ -263,13 +263,17 @@ def mlp_problem(
         x = aux[0]
         return restrict(_first_affine(w, x), _first_affine(p, x), w, p, aux)
 
-    def vag_restrict(A, B, w, p, aux):
-        """Full (loss, grad) at ``w + alpha*p`` computed FROM the prefix:
+    def _vag_restrict_full(A, B, w, p, aux):
+        """Full (loss, grad, z1) at ``w + alpha*p`` computed FROM the prefix:
         the forward never recomputes ``x @ W1`` (z1 = A + alpha*B), and the
         first layer's gradient is assembled manually as dW1 = x^T dz1,
         db1 = sum(dz1) — the input matrix is read once (backward only)
         instead of twice (and at half width under ``grad_input_dtype``,
-        which supplies the prepared bf16 copy as ``aux[2]``)."""
+        which supplies the prepared bf16 copy as ``aux[2]``). The returned
+        ``z1`` IS the post-step prefix (LinePrefix.vag_restrict_carry):
+        it is already materialized as the relu backward's residual, so
+        handing it to the solver as the next carried prefix costs nothing
+        and deletes the solver's separate A += alpha*B axpy."""
         x, y = aux[0], aux[1]
         # aux[2] is OUR prepared copy only when this problem attached a
         # prepare (a caller-supplied 3-element aux must not be misread).
@@ -297,6 +301,15 @@ def mlp_problem(
                 wa = w + alpha * p
                 loss = loss + 0.5 * lam * jnp.vdot(wa, wa)
                 g = g + lam * wa
+            return loss, g, z1
+
+        return value_and_grad_at
+
+    def vag_restrict(A, B, w, p, aux):
+        inner = _vag_restrict_full(A, B, w, p, aux)
+
+        def value_and_grad_at(alpha):
+            loss, g, _z1 = inner(alpha)
             return loss, g
 
         return value_and_grad_at
@@ -312,6 +325,7 @@ def mlp_problem(
         # it would defeat remat's memory guarantee, so remat problems keep
         # the checkpointed autodiff path for the accepted point.
         vag_restrict=None if remat else vag_restrict,
+        vag_restrict_carry=None if remat else _vag_restrict_full,
     )
 
     prepare = None

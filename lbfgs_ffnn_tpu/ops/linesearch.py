@@ -38,6 +38,10 @@ class LineSearchResult(NamedTuple):
     # would initialize the JAX backend at import time, locking in the axon
     # platform before callers can select cpu — see CLAUDE.md)
     n_trials: jax.Array | int = 0
+    # opaque accept-point carry from ``vag_carry_along`` (e.g. the solver's
+    # next line prefix, already computed inside the accept evaluation); ()
+    # when no carry-producing evaluator was supplied
+    carry: Any = ()
 
 
 def wolfe_line_search(
@@ -178,9 +182,14 @@ def armijo_batched_line_search(
     spec_k: int = 4,
     value_along: Callable[[jax.Array], jax.Array] | None = None,
     vag_along: Callable[[jax.Array], tuple] | None = None,
+    vag_carry_along: Callable[[jax.Array], tuple] | None = None,
 ) -> LineSearchResult:
     """Speculative batched Armijo backtracking (TPU-only policy, no
     reference counterpart).
+
+    ``vag_carry_along`` (preferred over ``vag_along`` when given) returns
+    ``(f, g, carry)`` at the accept point; the carry is handed back in
+    ``LineSearchResult.carry`` (see LinePrefix.vag_restrict_carry).
 
     Evaluates ``spec_k`` ladder candidates ``alpha0 * shrink**j`` per round
     in ONE batched forward — ``vmap`` over stacked trial weight vectors
@@ -246,13 +255,16 @@ def armijo_batched_line_search(
         )
 
     c = lax.while_loop(cond, body, c0)
-    if vag_along is not None:
+    carry = ()
+    if vag_carry_along is not None:
+        f_new, g_new, carry = vag_carry_along(c.alpha)
+    elif vag_along is not None:
         f_new, g_new = vag_along(c.alpha)
     else:
         f_new, g_new = value_and_grad(x + c.alpha * p, aux)
     return LineSearchResult(
         alpha=c.alpha, ok=c.ok, evaluated=jnp.array(True),
-        f_new=f_new, g_new=g_new, n_trials=c.trials,
+        f_new=f_new, g_new=g_new, n_trials=c.trials, carry=carry,
     )
 
 
@@ -271,8 +283,13 @@ def armijo_quad_line_search(
     value: Callable[..., jax.Array] | None = None,
     value_along: Callable[[jax.Array], jax.Array] | None = None,
     vag_along: Callable[[jax.Array], tuple] | None = None,
+    vag_carry_along: Callable[[jax.Array], tuple] | None = None,
 ) -> LineSearchResult:
     """Armijo backtracking with safeguarded quadratic interpolation.
+
+    ``vag_carry_along`` (preferred over ``vag_along`` when given) returns
+    ``(f, g, carry)`` at the accept point; the carry is handed back in
+    ``LineSearchResult.carry`` (see LinePrefix.vag_restrict_carry).
 
     Per trial: evaluate at ``alpha``; if Armijo holds, accept. Otherwise
     propose the minimizer of the quadratic fit
@@ -345,8 +362,11 @@ def armijo_quad_line_search(
         )
 
     c = lax.while_loop(cond, body, c0)
+    carry = ()
     if fused:
         f_new, g_new = c.f_new, c.g_new
+    elif vag_carry_along is not None:
+        f_new, g_new, carry = vag_carry_along(c.alpha_eval)
     elif vag_along is not None:
         f_new, g_new = vag_along(c.alpha_eval)
     else:
@@ -359,4 +379,5 @@ def armijo_quad_line_search(
         f_new=f_new,
         g_new=g_new,
         n_trials=c.i,
+        carry=carry,
     )

@@ -110,6 +110,23 @@ class LBFGSOptions(NamedTuple):
     # Works under mesh= too: each shard's partial dot promotes its bf16
     # rows against the f32 working shard BEFORE the psum, so cross-device
     # accumulation stays f32 (halves ring HBM per chip on pods).
+    prefix_dtype: str | None = None
+    # Storage dtype for the carried line prefix (the MLP's A = x@W1+b1 and
+    # per-iteration B = x@p1), e.g. "bfloat16": halves the prefix-bound HBM
+    # traffic that dominates the lean iteration once the ring is narrow —
+    # every trial's (A, B) read, the accept eval's read, B's write, and the
+    # accept-time A += alpha*B axpy. All arithmetic stays in the solver
+    # dtype (the combine A + alpha*B upcasts in registers; XLA fuses the
+    # casts into the reads/writes). Storage rounding of the accumulated A
+    # random-walks at ~sqrt(steps)*eps_bf16 relative, so a narrow prefix is
+    # periodically re-anchored (see prefix_refresh). None = solver dtype.
+    prefix_refresh: int | None = None
+    # Re-anchor the carried prefix every N iterations by recomputing
+    # A = init(x) exactly (one first-layer matmul inside a lax.cond, so it
+    # only runs on refresh iterations). None = auto: 16 when prefix_dtype
+    # is set (bounds the bf16 random-walk drift at ~4*eps_bf16 ~ 1.6% of
+    # |A| while amortizing the matmul to ~1/16 of an iteration), else 0
+    # (f32 drift is rounding-noise level, see types.LinePrefix). 0 = never.
 
 
 class _State(NamedTuple):
@@ -160,6 +177,26 @@ def _use_prefix(problem: Problem, opts: LBFGSOptions) -> bool:
     )
 
 
+def _prefix_cast(opts: LBFGSOptions):
+    """Leaf-wise cast of a carried prefix to ``opts.prefix_dtype`` (identity
+    when unset). Applied where the prefix is (re)materialized — init, the
+    per-iteration B, resume, refresh — so XLA fuses the cast into the
+    producing matmul's epilogue (the narrow array is written directly;
+    no separate conversion pass over HBM)."""
+    pd = getattr(opts, "prefix_dtype", None)
+    if pd is None:
+        return lambda P: P
+    d = jnp.dtype(pd)
+    return lambda P: jax.tree_util.tree_map(lambda a: a.astype(d), P)
+
+
+def _prefix_refresh_n(opts: LBFGSOptions) -> int:
+    r = getattr(opts, "prefix_refresh", None)
+    if r is None:
+        return 16 if getattr(opts, "prefix_dtype", None) is not None else 0
+    return int(r)
+
+
 def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux,
                 empty_hist=empty_history_state) -> _State:
     f0, g0 = problem.value_and_grad(x0, aux)
@@ -181,7 +218,7 @@ def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux,
         nf=jnp.int32(1),
         ng=jnp.int32(1),
         prefix=(
-            problem.line_prefix.init(x0, aux)
+            _prefix_cast(opts)(problem.line_prefix.init(x0, aux))
             if _use_prefix(problem, opts) else ()
         ),
     )
@@ -203,23 +240,44 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None,
 
     lean = _lean(problem, opts)
     use_prefix = _use_prefix(problem, opts)
+    prefix_cast = _prefix_cast(opts)
+    prefix_refresh = _prefix_refresh_n(opts)
+    # Accept-eval prefix carry: the armijo-family accept evaluation already
+    # computes the post-step prefix (the MLP's z1 = A + alpha*B, kept as the
+    # relu backward's residual) — reusing it as the next carried prefix
+    # deletes the separate accept-time axpy over the (batch, d1) prefix.
+    # Same arithmetic expression, so the carried value is unchanged.
+    carry_mode = (
+        use_prefix
+        and opts.prefix_vag
+        and problem.line_prefix.vag_restrict_carry is not None
+        and opts.line_search in ("armijo", "armijo_batched")
+    )
 
     def make_va(s: _State, p, aux):
-        """(B, value_along, vag_along): the carried-prefix restriction when
-        available (one first-layer matmul for B; A comes from the loop
-        state), else the per-iteration line_fun, else nothing."""
+        """(B, value_along, vag_along, vag_carry_along): the carried-prefix
+        restriction when available (one first-layer matmul for B; A comes
+        from the loop state), else the per-iteration line_fun, else
+        nothing."""
         if use_prefix:
             lp = problem.line_prefix
-            B = lp.direction(p, aux)
+            B = prefix_cast(lp.direction(p, aux))
             va = lp.restrict(s.prefix, B, s.x, p, aux)
             vag = (
                 lp.vag_restrict(s.prefix, B, s.x, p, aux)
                 if (opts.prefix_vag and lp.vag_restrict is not None) else None
             )
-            return B, va, vag
+            vagc = None
+            if carry_mode:
+                inner = lp.vag_restrict_carry(s.prefix, B, s.x, p, aux)
+
+                def vagc(alpha, _inner=inner):
+                    f, g, P_new = _inner(alpha)
+                    return f, g, prefix_cast(P_new)
+            return B, va, vag, vagc
         if problem.line_fun is not None:
-            return None, problem.line_fun(s.x, p, aux), None
-        return None, None, None
+            return None, problem.line_fun(s.x, p, aux), None, None
+        return None, None, None, None
 
     def body(s: _State, aux) -> _State:
         p = direction(s.g, s.hist)
@@ -242,13 +300,14 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None,
             # Structure-exploiting restriction f(x + a*p) when the problem
             # provides one (e.g. the MLP's affine first layer); only useful
             # for value-only trials.
-            B, va, vag = make_va(s, p, aux)
+            B, va, vag, vagc = make_va(s, p, aux)
             if opts.line_search == "armijo_batched":
                 ls = armijo_batched_line_search(
                     problem.value_and_grad, s.x, p, s.f, dg0, aux,
                     value=problem.fun, c1=opts.c1, shrink=opts.ls_shrink,
                     max_iters=opts.ls_max_iters, alpha0=alpha0,
                     spec_k=opts.ls_spec_k, value_along=va, vag_along=vag,
+                    vag_carry_along=vagc,
                 )
             else:
                 ls = armijo_quad_line_search(
@@ -258,8 +317,10 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None,
                     value=problem.fun if lean else None,
                     value_along=va if lean else None,
                     vag_along=vag if lean else None,
+                    vag_carry_along=vagc if lean else None,
                 )
             alpha, f_new, g_new = ls.alpha, ls.f_new, ls.g_new
+            prefix_carried = ls.carry if carry_mode else None
             # History reset on line-search failure (cuda/lbfgs.cuh:147).
             hist = reset(hist, ~ls.ok)
             if lean or opts.line_search == "armijo_batched":
@@ -268,7 +329,8 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None,
             else:     # each trial is a fused value_and_grad
                 nf_add, ng_add = ls.n_trials, ls.n_trials
         else:
-            B, va0, vag0 = make_va(s, p, aux)
+            B, va0, vag0, _vagc0 = make_va(s, p, aux)
+            prefix_carried = None  # wolfe keeps the explicit prefix axpy
 
             # First-iteration heuristic step, no search
             # (reference: src/minimizer/lbfgs.hpp:61-65).
@@ -325,11 +387,28 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None,
         gnorm_new = jnp.linalg.norm(g_new)
         loss_h, gnorm_h = record(s.loss_h, s.gnorm_h, s.k, f_new, gnorm_new)
         # Carried prefix moves with the iterate: x_new = x + alpha*p implies
-        # prefix_new = prefix + alpha*B exactly (linear in w).
-        prefix_new = (
-            jax.tree_util.tree_map(lambda a, b: a + alpha * b, s.prefix, B)
-            if use_prefix else s.prefix
-        )
+        # prefix_new = prefix + alpha*B exactly (linear in w). Under a
+        # narrow prefix_dtype the axpy upcasts in registers and rounds the
+        # sum back to storage; the accumulated rounding random walk is
+        # re-anchored every prefix_refresh iterations by recomputing the
+        # prefix from the fresh iterate (one first-layer matmul, executed
+        # only on refresh iterations thanks to the cond).
+        if prefix_carried is not None:
+            prefix_new = prefix_carried  # free: the accept eval computed it
+        elif use_prefix:
+            prefix_new = jax.tree_util.tree_map(
+                lambda a, b: (a + alpha * b).astype(a.dtype), s.prefix, B
+            )
+        else:
+            prefix_new = s.prefix
+        if use_prefix and prefix_refresh > 0:
+            lp = problem.line_prefix
+            prefix_new = lax.cond(
+                ((s.k + 1) % prefix_refresh) == 0,
+                lambda xn: prefix_cast(lp.init(xn, aux)),
+                lambda xn: prefix_new,
+                x_new,
+            )
         return _State(
             k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
             hist=hist, loss_h=loss_h, gnorm_h=gnorm_h,
@@ -464,6 +543,17 @@ def _sharded_env(problem: Problem, opts: LBFGSOptions, mesh, axis: str,
                 return call
         else:
             vag_restrict_pad = None
+        if lp.vag_restrict_carry is not None:
+            def vag_carry_pad(P, B, w, p, aux, _v=lp.vag_restrict_carry):
+                inner = _v(P, B, w[:n], p[:n], aux)
+
+                def call(alpha):
+                    f, g, P_new = inner(alpha)
+                    return f, _pad_to(g, n_pad), P_new
+
+                return call
+        else:
+            vag_carry_pad = None
         lp_pad = LinePrefix(
             init=lambda w, aux, _i=lp.init: _i(w[:n], aux),
             direction=lambda p, aux, _d=lp.direction: _d(p[:n], aux),
@@ -471,6 +561,7 @@ def _sharded_env(problem: Problem, opts: LBFGSOptions, mesh, axis: str,
                 P, B, w[:n], p[:n], aux
             ),
             vag_restrict=vag_restrict_pad,
+            vag_restrict_carry=vag_carry_pad,
         )
 
     pp = Problem(fun=fun_pad, grad=grad_pad, value_and_grad=vag_pad,
@@ -666,7 +757,9 @@ def lbfgs_chunked(
     state = resume_state if resume_state is not None else init(x0, aux)
     if resume_state is not None and _use_prefix(problem, opts):
         state = state._replace(
-            prefix=prefix_problem.line_prefix.init(state.x, aux)
+            prefix=_prefix_cast(opts)(
+                prefix_problem.line_prefix.init(state.x, aux)
+            )
         )
     state, time_ms = drive_chunks(
         run_chunk, state, (aux,), opts.max_iters,

@@ -57,6 +57,16 @@ class LinePrefix(NamedTuple):
     # gradient at rounding-noise level (~sqrt(iters)*eps relative) — see
     # the class docstring; opt out with LBFGSOptions(prefix_vag=False).
     vag_restrict: Optional[Callable[..., Callable]] = None
+    # Optional: ``vag_restrict_carry(P, B, w, p, aux)(alpha) ->
+    # (loss, grad, P_new)`` — vag_restrict that ADDITIONALLY returns the
+    # post-step prefix ``P_new = P + alpha*B`` it already computed for its
+    # own forward (the MLP's z1, which the relu backward keeps as a
+    # residual anyway). Letting the solver reuse it as the next carried
+    # prefix deletes the separate accept-time axpy over the (batch, d1)
+    # prefix — read P, read B, write P — entirely (same arithmetic
+    # expression, so the carried value is unchanged). Used by the armijo
+    # line-search paths when present; wolfe keeps the explicit axpy.
+    vag_restrict_carry: Optional[Callable[..., Callable]] = None
 
 
 class Problem(NamedTuple):

@@ -14,13 +14,15 @@ docs/PERF.md round-3 table):
   vag_restrict   accept-point (loss, grad) from the carried prefix
   trial          one lean line-search trial (loss-only restriction)
   prefix_B       the new direction's first-layer matmul B = x @ W1_p
+  prefix_axpy    the accept-time A += alpha*B prefix update
   two_loop       one direction computation from a full curvature ring
   solve          whole-solver slope via max_iters K1/K2 (chunk-free)
 
 Options mirror the solver policies under study: --m, --pair-dtype
 (bf16 curvature ring), --grad-input (bf16 backward input read),
---compute-dtype. Run on the real chip; honors LBFGS_FORCE_CPU=1 for a
-smoke run.
+--prefix-dtype (bf16 carried line prefix; A/B storage for the restrict/
+vag_restrict/B/axpy probes and the whole-solve), --compute-dtype. Run on
+the real chip; honors LBFGS_FORCE_CPU=1 for a smoke run.
 
 Usage:
   python scripts/measure_components.py --deep --m 100
@@ -51,6 +53,7 @@ parser.add_argument("--train-size", type=int, default=60000)
 parser.add_argument("--m", type=int, default=100)
 parser.add_argument("--pair-dtype", default=None)
 parser.add_argument("--grad-input", default=None)
+parser.add_argument("--prefix-dtype", default=None)
 parser.add_argument("--compute-dtype", default=None)
 parser.add_argument("--two-loop", default="pallas",
                     choices=["pallas", "xla", "compact"])
@@ -87,8 +90,16 @@ lp = prob.line_prefix
 
 print(f"# n={n} params, N={x.shape[0]} samples, m={args.m}, "
       f"two_loop={args.two_loop}, pair_dtype={args.pair_dtype}, "
-      f"grad_input={args.grad_input}, compute_dtype={args.compute_dtype}",
+      f"grad_input={args.grad_input}, prefix_dtype={args.prefix_dtype}, "
+      f"compute_dtype={args.compute_dtype}",
       flush=True)
+
+
+def pcast(P):
+    """Prefix-storage cast matching solvers.lbfgs._prefix_cast."""
+    if args.prefix_dtype is None:
+        return P
+    return P.astype(jnp.dtype(args.prefix_dtype))
 
 
 def slope(name, make_fn, k1, k2, scale_us=1e6):
@@ -138,9 +149,9 @@ def make_vag(K):
 # Accept-point (loss, grad) from the carried prefix.
 def make_vagr(K):
     def run(w0):
-        A = lp.init(w0, paux)
+        A = pcast(lp.init(w0, paux))
         p0 = w0 * 1e-3
-        B = lp.direction(p0, paux)
+        B = pcast(lp.direction(p0, paux))
         vag = lp.vag_restrict(A, B, w0, p0, paux)
 
         def body(i, c):
@@ -155,9 +166,9 @@ def make_vagr(K):
 # One lean trial: loss along the restriction.
 def make_trial(K):
     def run(w0):
-        A = lp.init(w0, paux)
+        A = pcast(lp.init(w0, paux))
         p0 = w0 * 1e-3
-        B = lp.direction(p0, paux)
+        B = pcast(lp.direction(p0, paux))
         va = lp.restrict(A, B, w0, p0, paux)
 
         def body(i, a):
@@ -170,9 +181,28 @@ def make_trial(K):
 def make_B(K):
     def run(w0):
         def body(i, p):
-            Bm = lp.direction(p, paux)
-            return p + 1e-12 * jnp.mean(Bm) * p
+            Bm = pcast(lp.direction(p, paux))
+            return p + 1e-12 * jnp.mean(Bm).astype(p.dtype) * p
         return jnp.sum(lax.fori_loop(0, K, body, w0 * 1e-3))
+    return run
+
+
+# The accept-time prefix update A += alpha*B (read A+B, write A; under
+# --prefix-dtype the sum rounds back to storage). DIAGNOSTIC: on the
+# armijo paths the production solver no longer pays this — the accept
+# eval's carry (LinePrefix.vag_restrict_carry) replaced the axpy; this
+# probe quantifies exactly what that deletion saves (wolfe still pays it).
+def make_prefix_axpy(K):
+    def run(w0):
+        A = pcast(lp.init(w0, paux))
+        B = pcast(lp.direction(w0 * 1e-3, paux))
+
+        def body(i, c):
+            A, a = c
+            a = a * -0.999  # data-dependent alpha, keeps A bounded
+            return (A + a * B).astype(A.dtype), a
+        A, a = lax.fori_loop(0, K, body, (A, jnp.float32(1e-3)))
+        return jnp.sum(A.astype(jnp.float32)) + a
     return run
 
 
@@ -210,6 +240,7 @@ if lp is not None and lp.vag_restrict is not None:
     slope("vag_restrict", make_vagr, k1, k2)
     slope("trial", make_trial, k1, k2)
     slope("prefix_B", make_B, k1, k2)
+    slope("prefix_axpy", make_prefix_axpy, k1, k2)
 slope("two_loop", make_two_loop, k1, k2)
 
 
@@ -219,7 +250,8 @@ s1, s2 = args.solve_iters
 opts = {
     k: LBFGSOptions(max_iters=k, tol=0.0, m=args.m, line_search="armijo",
                     two_loop_impl=args.two_loop,
-                    pair_dtype=args.pair_dtype)
+                    pair_dtype=args.pair_dtype,
+                    prefix_dtype=args.prefix_dtype)
     for k in (s1, s2)
 }
 
