@@ -119,6 +119,52 @@ def accumulate_chunks(store: ChunkStore, contrib, init):
     return lax.fori_loop(0, store.num_chunks, body, init)
 
 
+def masked_chunk_sums(bp: BatchProblem):
+    """``(sum_loss, sum_grad, sum_vag)`` over ONE zero-padded masked chunk.
+
+    The masking discipline lives here and only here: padding rows are
+    zeroed before ``per_sample`` (they may hold anything, including NaN —
+    see types.zero_masked_rows) and their losses dropped through ``where``,
+    so both the value and the cotangents of masked rows are exactly zero.
+    Shared by :func:`outofcore_problem` and the S-LBFGS out-of-core anchor
+    ops (solvers/slbfgs.py::_outofcore_ops)."""
+
+    def sum_loss(w, xb, yb, mask):
+        xb = zero_masked_rows(mask, xb)
+        yb = zero_masked_rows(mask, yb)
+        ls = bp.per_sample(w, xb, yb)
+        return jnp.sum(jnp.where(mask > 0, ls, 0.0))
+
+    return sum_loss, jax.grad(sum_loss), jax.value_and_grad(sum_loss)
+
+
+def chunked_mean_evals(bp: BatchProblem, store: ChunkStore):
+    """``(full_loss, full_grad)`` callables ``(w) -> scalar / (n,)`` that
+    accumulate the masked per-chunk sums over the whole store, divide by N
+    once, and add the regularizer once — the chunked equivalent of the
+    in-HBM ``bp.fun/grad`` over the full dataset."""
+    N = store.n
+    _sum_loss, _sum_grad, _ = masked_chunk_sums(bp)
+
+    def full_loss(w):
+        total = accumulate_chunks(
+            store, lambda xb, yb, m: _sum_loss(w, xb, yb, m),
+            jnp.zeros((), w.dtype),
+        )
+        out = total / N
+        return out + bp.reg(w) if bp.reg is not None else out
+
+    def full_grad(w):
+        g = accumulate_chunks(
+            store, lambda xb, yb, m: _sum_grad(w, xb, yb, m),
+            jnp.zeros_like(w),
+        )
+        g = g / N
+        return g + jax.grad(bp.reg)(w) if bp.reg is not None else g
+
+    return full_loss, full_grad
+
+
 def outofcore_problem(bp: BatchProblem, store: ChunkStore) -> Problem:
     """Full-batch :class:`Problem` over a host-resident dataset.
 
@@ -130,30 +176,14 @@ def outofcore_problem(bp: BatchProblem, store: ChunkStore) -> Problem:
     """
     N = store.n
 
-    def _sum_loss(w, xb, yb, mask):
-        xb = zero_masked_rows(mask, xb)
-        yb = zero_masked_rows(mask, yb)
-        ls = bp.per_sample(w, xb, yb)
-        return jnp.sum(jnp.where(mask > 0, ls, 0.0))
-
-    _sum_vag = jax.value_and_grad(_sum_loss)
-    _sum_grad = jax.grad(_sum_loss)
+    _sum_loss, _sum_grad, _sum_vag = masked_chunk_sums(bp)
+    full_loss, full_grad = chunked_mean_evals(bp, store)
 
     def fun(w, aux=()):
-        total = accumulate_chunks(
-            store, lambda xb, yb, m: _sum_loss(w, xb, yb, m),
-            jnp.zeros((), w.dtype),
-        )
-        out = total / N
-        return out + bp.reg(w) if bp.reg is not None else out
+        return full_loss(w)
 
     def grad(w, aux=()):
-        g = accumulate_chunks(
-            store, lambda xb, yb, m: _sum_grad(w, xb, yb, m),
-            jnp.zeros_like(w),
-        )
-        g = g / N
-        return g + jax.grad(bp.reg)(w) if bp.reg is not None else g
+        return full_grad(w)
 
     def value_and_grad(w, aux=()):
         total, g = accumulate_chunks(

@@ -50,7 +50,11 @@ def make_mesh(
     if devices is not None:
         devs = list(devices)
         if shape != (None,):
-            devs = devs[: math.prod(shape)]
+            n = math.prod(shape)
+            if len(devs) < n:
+                raise ValueError(
+                    f"mesh shape {shape} needs {n} devices, got {len(devs)}")
+            devs = devs[:n]
         return Mesh(np.asarray(devs).reshape([-1] + list(shape[1:])),
                     names, axis_types=types)
     if shape == (None,):

@@ -207,12 +207,8 @@ def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux,
         f=f0,
         g=g0,
         gnorm=jnp.linalg.norm(g0),
-        hist=(
-            empty_hist(opts.m, x0.shape[0], x0.dtype,
-                       pair_dtype=opts.pair_dtype)
-            if getattr(opts, "pair_dtype", None) is not None
-            else empty_hist(opts.m, x0.shape[0], x0.dtype)
-        ),
+        hist=empty_hist(opts.m, x0.shape[0], x0.dtype,
+                        pair_dtype=opts.pair_dtype),
         loss_h=loss_h,
         gnorm_h=gnorm_h,
         nf=jnp.int32(1),

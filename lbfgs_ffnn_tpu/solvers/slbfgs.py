@@ -366,32 +366,14 @@ def _outofcore_ops(problem: BatchProblem, store, N: int, b: int, b_h: int, opts)
     CPU RAM). Same index streams as _direct_ops (identical keys, identical
     sampler), so the trajectory matches the in-HBM run up to chunked-
     summation rounding; see tests/test_outofcore.py."""
-    from lbfgs_ffnn_tpu.data.outofcore import accumulate_chunks
-    from lbfgs_ffnn_tpu.types import zero_masked_rows
+    from lbfgs_ffnn_tpu.data.outofcore import chunked_mean_evals
 
     def sample(k, size):
         return sample_without_replacement(k, N, size, opts.sampler)
 
-    def _sum_loss(w, xb, yb, mask):
-        xb = zero_masked_rows(mask, xb)
-        yb = zero_masked_rows(mask, yb)
-        ls = problem.per_sample(w, xb, yb)
-        return jnp.sum(jnp.where(mask > 0, ls, 0.0))
-
-    _sum_grad = jax.grad(_sum_loss)
-
-    def full_grad(w):
-        g = accumulate_chunks(
-            store, lambda xb, yb, m: _sum_grad(w, xb, yb, m), jnp.zeros_like(w)
-        ) / N
-        return g + jax.grad(problem.reg)(w) if problem.reg is not None else g
-
-    def full_loss(w):
-        f = accumulate_chunks(
-            store, lambda xb, yb, m: _sum_loss(w, xb, yb, m),
-            jnp.zeros((), w.dtype),
-        ) / N
-        return f + problem.reg(w) if problem.reg is not None else f
+    # Masking + divide-by-N + reg-once discipline shared with
+    # outofcore_problem (data/outofcore.py) — one implementation.
+    full_loss, full_grad = chunked_mean_evals(problem, store)
 
     def batch_grads(w_t, w_anchor, key):
         xb, yb = store.fetch_rows(sample(key, b))

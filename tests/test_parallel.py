@@ -46,6 +46,16 @@ def test_mesh_construction():
     assert mesh4.shape["data"] == 4
 
 
+def test_mesh_explicit_devices_validated():
+    # An explicit device list shorter than prod(shape) must raise, not
+    # silently build a smaller mesh (a (2, 4) request on 4 devices would
+    # otherwise come out (1, 4) — data parallelism quietly gone).
+    mesh24 = make_mesh((2, 4), ("data", "model"), devices=jax.devices())
+    assert mesh24.shape == {"data": 2, "model": 4}
+    with pytest.raises(ValueError, match="needs 8 devices"):
+        make_mesh((2, 4), ("data", "model"), devices=jax.devices()[:4])
+
+
 def test_shard_map_problem_matches_single_device():
     mesh = make_mesh()
     bp = mlp_batch_problem(SPEC)
