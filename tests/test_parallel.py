@@ -504,6 +504,18 @@ def test_two_loop_sharded_compact_matches_loop():
     vecsh = NamedSharding(mesh, P("param"))
     rng = np.random.default_rng(1)
     n, m = 4096, 6
+    # jit once per (fn, gamma policy): identical shapes across fill levels,
+    # so the 3 k-values reuse 4 compiles instead of retracing eagerly.
+    compact_j = {
+        cg: jax.jit(lambda v, gr, _cg=cg: two_loop_sharded_compact(
+            v, gr, mesh, "param", clamp_gamma=_cg))
+        for cg in (False, True)
+    }
+    sharded_j = {
+        cg: jax.jit(lambda v, ring, _cg=cg: two_loop_sharded(
+            v, ring, mesh, "param", clamp_gamma=_cg))
+        for cg in (False, True)
+    }
     for k in (0, 2, 9):  # empty, partial, wrapped
         gr = _filled_gram_ring(n, m, k, seed=k)
         v = jnp.asarray(rng.normal(size=n))
@@ -513,10 +525,8 @@ def test_two_loop_sharded_compact_matches_loop():
         ))
         v_sh = jax.device_put(v, vecsh)
         for cg in (False, True):
-            r_c = two_loop_sharded_compact(
-                v_sh, gr_sh, mesh, "param", clamp_gamma=cg
-            )
-            r_s = two_loop_sharded(v_sh, gr_sh.ring, mesh, "param", clamp_gamma=cg)
+            r_c = compact_j[cg](v_sh, gr_sh)
+            r_s = sharded_j[cg](v_sh, gr_sh.ring)
             np.testing.assert_allclose(
                 np.asarray(r_c), np.asarray(r_s), rtol=1e-10, atol=1e-10
             )
