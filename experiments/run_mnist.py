@@ -56,6 +56,16 @@ parser.add_argument("--bf16-prefix", action="store_true",
                          "— halves the trial/accept prefix HBM traffic; "
                          "arithmetic stays f32 with an exact re-anchor "
                          "every 16 iterations")
+parser.add_argument("--bf16-line-input", action="store_true",
+                    help="add L-BFGS runs feeding the bf16 input copy to "
+                         "the line-restriction GEMMs (B = x@W1_p per iter, "
+                         "A init/refresh) — halves B's dominant input read; "
+                         "bitwise-free on TPU (default f32 dots round "
+                         "operands to bf16 anyway)")
+parser.add_argument("--bf16-all", action="store_true",
+                    help="add L-BFGS runs stacking every bf16 traffic "
+                         "lever: ring + grad-input + line-input + carried "
+                         "prefix storage")
 parser.add_argument("--bf16-compute", action="store_true",
                     help="add L-BFGS runs evaluating the objective with "
                          "bf16 MXU operands (f32 accumulation/params/loss; "
@@ -156,6 +166,23 @@ if args.bf16_prefix:
             tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
             log_interval=1, two_loop_impl=two_loop,
             prefix_dtype="bfloat16")))
+
+if args.bf16_line_input:
+    for m in (10, 100):
+        runs.append(("lbfgs", UnifiedConfig(
+            name=f"{name}_LBFGS_m{m}_bf16lineinput", max_iters=args.iters,
+            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
+            log_interval=1, two_loop_impl=two_loop,
+            line_input_dtype="bfloat16")))
+
+if args.bf16_all:
+    for m in (10, 100):
+        runs.append(("lbfgs", UnifiedConfig(
+            name=f"{name}_LBFGS_m{m}_bf16all", max_iters=args.iters,
+            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
+            log_interval=1, two_loop_impl=two_loop,
+            pair_dtype="bfloat16", grad_input_dtype="bfloat16",
+            line_input_dtype="bfloat16", prefix_dtype="bfloat16")))
 
 if args.bf16_compute:
     for m in (10, 100):

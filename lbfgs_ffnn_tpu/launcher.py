@@ -106,6 +106,13 @@ class UnifiedConfig:
                                  # GEMM — half the dominant HBM read per
                                  # L-BFGS iteration; forward/loss/trials
                                  # stay exactly f32. objectives/mlp.py)
+    line_input_dtype: Optional[str] = None  # line-restriction GEMM input-
+                                 # read dtype ("bfloat16": the same narrow
+                                 # copy feeds B = x@W1_p each iteration +
+                                 # A init/refresh — halves B's dominant
+                                 # (batch, in_dim) read; bitwise-free on
+                                 # TPU where the default f32 dot rounds
+                                 # operands to bf16 anyway. mlp.py)
 
 
 @dataclasses.dataclass
@@ -154,14 +161,16 @@ class Launcher:
         return self
 
     def _get_problem(self, compute_dtype: Optional[str] = None,
-                     grad_input_dtype: Optional[str] = None):
+                     grad_input_dtype: Optional[str] = None,
+                     line_input_dtype: Optional[str] = None):
         # One Problem object per launcher per compute policy: solver jit
         # caches key on it, so warm-up and timed runs share the executable.
-        key = ("full", compute_dtype, grad_input_dtype)
+        key = ("full", compute_dtype, grad_input_dtype, line_input_dtype)
         if key not in self._prob_cache:
             self._prob_cache[key] = mlp_problem(
                 self.spec, compute_dtype=compute_dtype,
                 grad_input_dtype=grad_input_dtype,
+                line_input_dtype=line_input_dtype,
             )
         return self._prob_cache[key]
 
@@ -216,7 +225,8 @@ class Launcher:
             if solver == "lbfgs":
                 result, time_ms = lbfgs_chunked(
                     self._get_problem(config.compute_dtype,
-                                      config.grad_input_dtype), self.weights,
+                                      config.grad_input_dtype,
+                                      config.line_input_dtype), self.weights,
                     aux=(self._x, self._y), opts=self._lbfgs_opts(config),
                     chunk=K,
                 )
@@ -237,7 +247,8 @@ class Launcher:
             elif solver == "gd":
                 result, time_ms = gd_chunked(
                     self._get_problem(config.compute_dtype,
-                                      config.grad_input_dtype), self.weights,
+                                      config.grad_input_dtype,
+                                      config.line_input_dtype), self.weights,
                     aux=(self._x, self._y), opts=self._gd_opts(config),
                     chunk=K,
                 )
@@ -389,12 +400,14 @@ class Launcher:
         N = int(x.shape[0])
 
         if solver == "gd":
-            prob = self._get_problem(c.compute_dtype, c.grad_input_dtype)
+            prob = self._get_problem(c.compute_dtype, c.grad_input_dtype,
+                                     c.line_input_dtype)
             opts = self._gd_opts(c)
             return lambda: gradient_descent(prob, w0, aux=(x, y), opts=opts)
 
         if solver == "lbfgs":
-            prob = self._get_problem(c.compute_dtype, c.grad_input_dtype)
+            prob = self._get_problem(c.compute_dtype, c.grad_input_dtype,
+                                     c.line_input_dtype)
             opts = self._lbfgs_opts(c)
             return lambda: lbfgs(prob, w0, aux=(x, y), opts=opts)
 

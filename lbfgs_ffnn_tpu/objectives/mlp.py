@@ -176,7 +176,7 @@ def mlp_loss(
 
 def mlp_problem(
     spec: MLPSpec, lam: float = 0.0, compute_dtype=None, remat: bool = False,
-    grad_input_dtype=None,
+    grad_input_dtype=None, line_input_dtype=None,
 ) -> Problem:
     """Full-batch Problem; ``aux = (x, y)``.
 
@@ -190,6 +190,17 @@ def mlp_problem(
     rounding level; the forward, loss, and every line-search trial stay
     exactly f32. No reference counterpart (f32 cuBLAS reads f32,
     src/cuda/network.cuh).
+
+    ``line_input_dtype="bfloat16"`` feeds the same prepared narrow copy to
+    the OTHER per-iteration reader of the raw input: the line-restriction
+    GEMMs (the carried prefix's ``B = x @ W1_p`` each iteration, plus
+    A-init/refresh and per-call ``line_fun``). On TPU this is numerically
+    FREE — the default f32 dot rounds both operands to bf16 on the MXU, so
+    ``dot(bf16(x), W)`` produces bitwise the same products the f32 read
+    would — while halving B's dominant (batch, in_dim) traffic. Off-TPU
+    (true f32 dot units), trial/accept values shift by one bf16 rounding of
+    x, so this is a separate opt-in from ``grad_input_dtype``: the full-
+    batch ``fun`` and the very first f0 stay raw-f32 reads either way.
 
     ``remat=True`` wraps the loss in ``jax.checkpoint``: the backward pass
     recomputes activations instead of storing them — trades ~one extra
@@ -225,12 +236,24 @@ def mlp_problem(
     )
 
     def _first_affine(v, x):
+        # preferred_element_type comes from the PARAM vector so a narrow
+        # line_input x (bf16) still yields a full-width prefix; the narrow
+        # read upcasts inside the dot (fused on TPU, exact off it).
         W = v[w_off : w_off + d_in * d_out].reshape(d_in, d_out)
         b = v[b_off : b_off + d_out]
         if compute_dtype is not None:
             return jnp.dot(x.astype(compute_dtype), W.astype(compute_dtype),
-                           preferred_element_type=x.dtype) + b
-        return jnp.dot(x, W, preferred_element_type=x.dtype) + b
+                           preferred_element_type=v.dtype) + b
+        return jnp.dot(x, W, preferred_element_type=v.dtype) + b
+
+    def _line_x(aux):
+        # The prepared narrow copy feeds the restriction GEMMs only when
+        # line_input_dtype asked for it (aux[2] is OUR copy only when this
+        # problem attached a prepare; a caller-supplied 3-element aux must
+        # not be misread — same guard as vag_restrict's xg).
+        if line_input_dtype is not None and len(aux) > 2:
+            return aux[2]
+        return aux[0]
 
     def _loss_from_z1(w_rest_alpha, z1, y, n_batch):
         """Shared loss body for the restriction and its value_and_grad form —
@@ -260,7 +283,7 @@ def mlp_problem(
         return value
 
     def line_fun(w, p, aux):
-        x = aux[0]
+        x = _line_x(aux)
         return restrict(_first_affine(w, x), _first_affine(p, x), w, p, aux)
 
     def _vag_restrict_full(A, B, w, p, aux):
@@ -318,8 +341,8 @@ def mlp_problem(
     # (the first-layer preactivation is linear in w), so the per-iteration
     # cost drops to ONE first-layer matmul (for the new direction's B).
     line_prefix = LinePrefix(
-        init=lambda w, aux: _first_affine(w, aux[0]),
-        direction=lambda p, aux: _first_affine(p, aux[0]),
+        init=lambda w, aux: _first_affine(w, _line_x(aux)),
+        direction=lambda p, aux: _first_affine(p, _line_x(aux)),
         restrict=restrict,
         # vag_restrict stores the rest-layer activations for its backward —
         # it would defeat remat's memory guarantee, so remat problems keep
@@ -328,15 +351,28 @@ def mlp_problem(
         vag_restrict_carry=None if remat else _vag_restrict_full,
     )
 
-    prepare = None
+    # ONE prepared narrow copy serves both consumers (vag_restrict's dW1
+    # read under grad_input_dtype, the restriction GEMMs under
+    # line_input_dtype); requiring a single dtype keeps aux fixed-shape.
+    narrow_dtype = None
     if grad_input_dtype is not None and not remat:
-        # Only vag_restrict consumes the narrow copy; under remat it is
-        # disabled (see LinePrefix above), so preparing the copy would be
-        # pure HBM dead weight.
-        gid = jnp.dtype(grad_input_dtype)
+        # Only vag_restrict consumes the grad-side copy; under remat it is
+        # disabled (see LinePrefix above), so preparing for it alone would
+        # be pure HBM dead weight.
+        narrow_dtype = jnp.dtype(grad_input_dtype)
+    if line_input_dtype is not None:
+        lid = jnp.dtype(line_input_dtype)
+        if narrow_dtype is not None and lid != narrow_dtype:
+            raise ValueError(
+                f"grad_input_dtype={grad_input_dtype!r} and "
+                f"line_input_dtype={line_input_dtype!r} must match — they "
+                "share one prepared input copy")
+        narrow_dtype = lid
 
-        def prepare(aux):
-            return (aux[0], aux[1], aux[0].astype(gid))
+    prepare = None
+    if narrow_dtype is not None:
+        def prepare(aux, _d=narrow_dtype):
+            return (aux[0], aux[1], aux[0].astype(_d))
 
     return make_problem(fun, line_fun=line_fun, line_prefix=line_prefix,
                         prepare=prepare)
