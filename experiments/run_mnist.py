@@ -143,62 +143,27 @@ else:
                                 two_loop_impl=two_loop)),
     ]
 
-if args.bf16_ring:
+# Optional L-BFGS policy variants (flag, name suffix, UnifiedConfig kwargs).
+# --bf16-all is literally the union of the four bf16 traffic levers.
+_BF16_ALL = dict(pair_dtype="bfloat16", grad_input_dtype="bfloat16",
+                 line_input_dtype="bfloat16", prefix_dtype="bfloat16")
+for enabled, suffix, extra in [
+    (args.bf16_ring, "bf16ring", dict(pair_dtype="bfloat16")),
+    (args.bf16_grad_input, "bf16gradin", dict(grad_input_dtype="bfloat16")),
+    (args.bf16_prefix, "bf16prefix", dict(prefix_dtype="bfloat16")),
+    (args.bf16_line_input, "bf16lineinput",
+     dict(line_input_dtype="bfloat16")),
+    (args.bf16_all, "bf16all", _BF16_ALL),
+    (args.bf16_compute, "bf16compute", dict(compute_dtype="bfloat16")),
+    (args.batched_ls, "batchedLS", dict(line_search="armijo_batched")),
+]:
+    if not enabled:
+        continue
     for m in (10, 100):
         runs.append(("lbfgs", UnifiedConfig(
-            name=f"{name}_LBFGS_m{m}_bf16ring", max_iters=args.iters,
+            name=f"{name}_LBFGS_m{m}_{suffix}", max_iters=args.iters,
             tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
-            log_interval=1, two_loop_impl=two_loop,
-            pair_dtype="bfloat16")))
-
-if args.bf16_grad_input:
-    for m in (10, 100):
-        runs.append(("lbfgs", UnifiedConfig(
-            name=f"{name}_LBFGS_m{m}_bf16gradin", max_iters=args.iters,
-            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
-            log_interval=1, two_loop_impl=two_loop,
-            grad_input_dtype="bfloat16")))
-
-if args.bf16_prefix:
-    for m in (10, 100):
-        runs.append(("lbfgs", UnifiedConfig(
-            name=f"{name}_LBFGS_m{m}_bf16prefix", max_iters=args.iters,
-            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
-            log_interval=1, two_loop_impl=two_loop,
-            prefix_dtype="bfloat16")))
-
-if args.bf16_line_input:
-    for m in (10, 100):
-        runs.append(("lbfgs", UnifiedConfig(
-            name=f"{name}_LBFGS_m{m}_bf16lineinput", max_iters=args.iters,
-            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
-            log_interval=1, two_loop_impl=two_loop,
-            line_input_dtype="bfloat16")))
-
-if args.bf16_all:
-    for m in (10, 100):
-        runs.append(("lbfgs", UnifiedConfig(
-            name=f"{name}_LBFGS_m{m}_bf16all", max_iters=args.iters,
-            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
-            log_interval=1, two_loop_impl=two_loop,
-            pair_dtype="bfloat16", grad_input_dtype="bfloat16",
-            line_input_dtype="bfloat16", prefix_dtype="bfloat16")))
-
-if args.bf16_compute:
-    for m in (10, 100):
-        runs.append(("lbfgs", UnifiedConfig(
-            name=f"{name}_LBFGS_m{m}_bf16compute", max_iters=args.iters,
-            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
-            log_interval=1, two_loop_impl=two_loop,
-            compute_dtype="bfloat16")))
-
-if args.batched_ls:
-    for m in (10, 100):
-        runs.append(("lbfgs", UnifiedConfig(
-            name=f"{name}_LBFGS_m{m}_batchedLS", max_iters=args.iters,
-            tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
-            log_interval=1, two_loop_impl=two_loop,
-            line_search="armijo_batched")))
+            log_interval=1, two_loop_impl=two_loop, **extra)))
 
 meta_runs = []
 for solver, cfg in runs:

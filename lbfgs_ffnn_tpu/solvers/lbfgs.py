@@ -183,18 +183,16 @@ def _prefix_cast(opts: LBFGSOptions):
     per-iteration B, resume, refresh — so XLA fuses the cast into the
     producing matmul's epilogue (the narrow array is written directly;
     no separate conversion pass over HBM)."""
-    pd = getattr(opts, "prefix_dtype", None)
-    if pd is None:
+    if opts.prefix_dtype is None:
         return lambda P: P
-    d = jnp.dtype(pd)
+    d = jnp.dtype(opts.prefix_dtype)
     return lambda P: jax.tree_util.tree_map(lambda a: a.astype(d), P)
 
 
 def _prefix_refresh_n(opts: LBFGSOptions) -> int:
-    r = getattr(opts, "prefix_refresh", None)
-    if r is None:
-        return 16 if getattr(opts, "prefix_dtype", None) is not None else 0
-    return int(r)
+    if opts.prefix_refresh is None:
+        return 16 if opts.prefix_dtype is not None else 0
+    return int(opts.prefix_refresh)
 
 
 def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux,
@@ -752,11 +750,20 @@ def lbfgs_chunked(
 
     state = resume_state if resume_state is not None else init(x0, aux)
     if resume_state is not None and _use_prefix(problem, opts):
-        state = state._replace(
-            prefix=_prefix_cast(opts)(
-                prefix_problem.line_prefix.init(state.x, aux)
+        # Jitted so a mesh-mode resume works on a sharded (possibly
+        # non-fully-addressable multi-host) iterate — eager slicing/matmul
+        # on such an array would raise before the first chunk, and even
+        # single-host it would run a full (batch, d1) matmul unjitted.
+        # Prepared aux so the re-init reads the SAME input copy the chunks
+        # do (e.g. the bf16 line_input copy) — off-TPU a raw-f32 re-init
+        # would shift trial values by one operand rounding vs the in-run
+        # prefix. One extra compile per resume; resume happens once per run.
+        prefix_init = jax.jit(
+            lambda xx, au: _prefix_cast(opts)(
+                prefix_problem.line_prefix.init(xx, prepared_aux(problem, au))
             )
         )
+        state = state._replace(prefix=prefix_init(state.x, aux))
     state, time_ms = drive_chunks(
         run_chunk, state, (aux,), opts.max_iters,
         counter=lambda s: int(s.k),

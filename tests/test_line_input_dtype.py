@@ -16,6 +16,7 @@ import pytest
 
 from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
 from lbfgs_ffnn_tpu.solvers import LBFGSOptions, lbfgs
+from lbfgs_ffnn_tpu.solvers.lbfgs import lbfgs_chunked
 from lbfgs_ffnn_tpu.types import prepared_aux
 
 
@@ -122,6 +123,29 @@ def test_line_input_caller_aux_not_misread():
     lp = prob.line_prefix
     A = lp.init(w, (x, y, sentinel))
     assert bool(jnp.all(jnp.isfinite(A)))
+
+
+def test_line_input_chunked_resume_reinit_uses_prepared_aux():
+    """lbfgs_chunked resume re-derives the carried prefix through PREPARED
+    aux (the bf16 copy), matching the in-run prefix to f32 ulps — a raw-f32
+    re-init would shift every subsequent trial by one operand rounding
+    off-TPU (regression: the re-init once read aux[0] directly)."""
+    rng = np.random.default_rng(3)
+    X = jnp.asarray(rng.normal(size=(128, 16)), jnp.float32)
+    Y = jax.nn.one_hot(jnp.asarray(rng.integers(0, 4, 128)), 4,
+                       dtype=jnp.float32)
+    spec = mlp_spec([16, 32, 4], ["relu", "linear"])
+    w0 = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    opts = LBFGSOptions(max_iters=20, m=5, line_search="armijo", tol=1e-12)
+    prob = mlp_problem(spec, line_input_dtype="bfloat16")
+    states = []
+    res_a, _ = lbfgs_chunked(prob, w0, aux=(X, Y), opts=opts, chunk=5,
+                             callback=lambda s, t: states.append(s))
+    res_b, _ = lbfgs_chunked(prob, None, aux=(X, Y), opts=opts, chunk=5,
+                             resume_state=states[1])
+    # f32-ulp agreement (the exact-recompute-vs-carried-drift bound);
+    # the raw-f32 re-init regression showed ~1e-4 here.
+    assert abs(float(res_a.final_loss) - float(res_b.final_loss)) < 1e-6
 
 
 def test_line_input_launcher_end_to_end():

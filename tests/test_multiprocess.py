@@ -8,12 +8,23 @@ Reference has nothing to compare against (SURVEY.md §2.6: no distributed
 backend at all).
 """
 
+import os
 import socket
 import subprocess
 import sys
 from pathlib import Path
 
 import numpy as np
+
+
+def _cpu_env() -> dict:
+    """Worker env with the axon tunnel registration handshake disabled.
+
+    sitecustomize registers EVERY interpreter with the TPU tunnel at
+    startup (before the worker's own ``JAX_PLATFORMS=cpu`` line runs);
+    concurrent registrations contend with in-flight TPU work. An empty
+    PALLAS_AXON_POOL_IPS skips registration entirely (CLAUDE.md)."""
+    return {**os.environ, "PALLAS_AXON_POOL_IPS": ""}
 
 _WORKER = r"""
 import os, sys
@@ -124,6 +135,7 @@ def test_two_process_distributed_gradient(tmp_path):
             [sys.executable, str(worker), str(i), "2", str(port)],
             cwd=str(Path(__file__).resolve().parent.parent),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_cpu_env(),
         )
         for i in range(2)
     ]
@@ -162,6 +174,7 @@ def test_two_process_lbfgs_matches_single_process(tmp_path):
             [sys.executable, str(worker), str(i), "2", str(port)],
             cwd=str(Path(__file__).resolve().parent.parent),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_cpu_env(),
         )
         for i in range(2)
     ]
@@ -263,6 +276,7 @@ def test_two_process_slbfgs_global_sampling_matches_single_process(tmp_path):
             [sys.executable, str(worker), str(i), "2", str(port)],
             cwd=str(Path(__file__).resolve().parent.parent),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_cpu_env(),
         )
         for i in range(2)
     ]
@@ -370,6 +384,7 @@ def test_two_process_dp_tp_lbfgs(tmp_path):
             [sys.executable, str(worker), str(i), "2", str(port)],
             cwd=str(Path(__file__).resolve().parent.parent),
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=_cpu_env(),
         )
         for i in range(2)
     ]
