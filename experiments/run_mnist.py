@@ -66,6 +66,14 @@ parser.add_argument("--bf16-all", action="store_true",
                     help="add L-BFGS runs stacking every bf16 traffic "
                          "lever: ring + grad-input + line-input + carried "
                          "prefix storage")
+parser.add_argument("--u8-input", action="store_true",
+                    help="add L-BFGS runs reading a uint8 pixel-quantized "
+                         "input copy in the restriction/backward GEMMs "
+                         "(quarter the f32 read; exact for k/255 pixel "
+                         "data, 1/255 scale fused into the dot epilogue)")
+parser.add_argument("--u8-all", action="store_true",
+                    help="add L-BFGS runs stacking the u8 input copy with "
+                         "the bf16 ring + carried prefix storage")
 parser.add_argument("--bf16-compute", action="store_true",
                     help="add L-BFGS runs evaluating the objective with "
                          "bf16 MXU operands (f32 accumulation/params/loss; "
@@ -154,6 +162,12 @@ for enabled, suffix, extra in [
     (args.bf16_line_input, "bf16lineinput",
      dict(line_input_dtype="bfloat16")),
     (args.bf16_all, "bf16all", _BF16_ALL),
+    (args.u8_input, "u8input", dict(line_input_dtype="uint8",
+                                    grad_input_dtype="uint8")),
+    (args.u8_all, "u8all", dict(line_input_dtype="uint8",
+                                grad_input_dtype="uint8",
+                                pair_dtype="bfloat16",
+                                prefix_dtype="bfloat16")),
     (args.bf16_compute, "bf16compute", dict(compute_dtype="bfloat16")),
     (args.batched_ls, "batchedLS", dict(line_search="armijo_batched")),
 ]:

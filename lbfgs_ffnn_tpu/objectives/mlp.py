@@ -202,6 +202,17 @@ def mlp_problem(
     x, so this is a separate opt-in from ``grad_input_dtype``: the full-
     batch ``fun`` and the very first f0 stay raw-f32 reads either way.
 
+    Both options also accept ``"uint8"`` for PIXEL data (values on the
+    k/255 grid, k = 0..255 — MNIST/Fashion exactly): the prepared copy
+    stores ``round(x*255)`` as uint8 — a QUARTER of the f32 read (47 vs
+    188 MB on the 60k benchmarks) — and every consumer GEMM computes
+    ``dot(xq, ·) * (1/255)`` with the scale fused into the dot epilogue.
+    The int->float upcast is EXACT (integers <= 255 are exact in bf16), so
+    on TPU the u8 products are if anything *more* faithful than the f32
+    path's (bf16(k) is exact where bf16(k/255) rounds). Inputs off the
+    pixel grid are quantized (clipped to [0,1], rounded to the grid) —
+    this is an explicit opt-in for image data, not a general-purpose mode.
+
     ``remat=True`` wraps the loss in ``jax.checkpoint``: the backward pass
     recomputes activations instead of storing them — trades ~one extra
     forward of FLOPs for O(batch x width) less HBM during the gradient.
@@ -237,14 +248,23 @@ def mlp_problem(
 
     def _first_affine(v, x):
         # preferred_element_type comes from the PARAM vector so a narrow
-        # line_input x (bf16) still yields a full-width prefix; the narrow
-        # read upcasts inside the dot (fused on TPU, exact off it).
+        # line_input x (bf16/u8) still yields a full-width prefix; the
+        # narrow read upcasts inside the dot (fused on TPU, exact off it).
+        # A uint8 x holds round(raw*255): the 1/255 rescale rides the dot
+        # OUTPUT (a scalar multiply XLA fuses into the epilogue), so the
+        # operands stay the exactly-representable integers.
         W = v[w_off : w_off + d_in * d_out].reshape(d_in, d_out)
         b = v[b_off : b_off + d_out]
+        quant = jnp.issubdtype(x.dtype, jnp.integer)
         if compute_dtype is not None:
-            return jnp.dot(x.astype(compute_dtype), W.astype(compute_dtype),
-                           preferred_element_type=v.dtype) + b
-        return jnp.dot(x, W, preferred_element_type=v.dtype) + b
+            z = jnp.dot(x.astype(compute_dtype), W.astype(compute_dtype),
+                        preferred_element_type=v.dtype)
+        else:
+            xf = x.astype(v.dtype) if quant else x
+            z = jnp.dot(xf, W, preferred_element_type=v.dtype)
+        if quant:
+            z = z * jnp.asarray(1.0 / 255.0, v.dtype)
+        return z + b
 
     def _line_x(aux):
         # The prepared narrow copy feeds the restriction GEMMs only when
@@ -311,13 +331,19 @@ def mlp_problem(
 
             loss, vjp_fn = jax.vjp(from_z1, w_rest, z1)
             g_rest, dz1 = vjp_fn(jnp.ones_like(loss))
+            quant = jnp.issubdtype(xg.dtype, jnp.integer)
             if compute_dtype is not None:
                 gW1 = jnp.dot(
                     xg.T.astype(compute_dtype), dz1.astype(compute_dtype),
                     preferred_element_type=x.dtype,
                 )
             else:
-                gW1 = jnp.dot(xg.T, dz1, preferred_element_type=x.dtype)
+                xgf = xg.T.astype(x.dtype) if quant else xg.T
+                gW1 = jnp.dot(xgf, dz1, preferred_element_type=x.dtype)
+            if quant:
+                # xg holds round(x*255); rescale on the (in, d1) output —
+                # negligible next to the (batch, in) operand read it saves.
+                gW1 = gW1 * jnp.asarray(1.0 / 255.0, x.dtype)
             gb1 = jnp.sum(dz1, axis=0)
             g = jnp.concatenate([gW1.ravel(), gb1, g_rest])
             if lam:
@@ -371,8 +397,18 @@ def mlp_problem(
 
     prepare = None
     if narrow_dtype is not None:
-        def prepare(aux, _d=narrow_dtype):
-            return (aux[0], aux[1], aux[0].astype(_d))
+        if jnp.issubdtype(narrow_dtype, jnp.integer):
+            if narrow_dtype != jnp.dtype(jnp.uint8):
+                raise ValueError(
+                    f"integer narrow input dtype must be uint8 (the pixel "
+                    f"quantization convention), got {narrow_dtype}")
+
+            def prepare(aux):
+                xq = jnp.clip(jnp.round(aux[0] * 255.0), 0.0, 255.0)
+                return (aux[0], aux[1], xq.astype(jnp.uint8))
+        else:
+            def prepare(aux, _d=narrow_dtype):
+                return (aux[0], aux[1], aux[0].astype(_d))
 
     return make_problem(fun, line_fun=line_fun, line_prefix=line_prefix,
                         prepare=prepare)

@@ -1,0 +1,124 @@
+"""uint8 pixel-quantized input copy: ``*_input_dtype="uint8"`` stores
+round(x*255) as uint8 — a QUARTER of the f32 HBM read — and every consumer
+GEMM computes dot(xq, .) * (1/255) with the int->float upcast exact
+(integers <= 255 are exact in bf16 and f32).
+
+For data exactly on the k/255 pixel grid (MNIST/Fashion), the u8 path's
+products are mathematically x@W up to f32 rounding-order differences; these
+tests pin the prepare contents, the 1/255 epilogue scaling in every
+consumer, gradient parity, and solver-level convergence.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lbfgs_ffnn_tpu.objectives.mlp import mlp_init, mlp_problem, mlp_spec
+from lbfgs_ffnn_tpu.solvers import LBFGSOptions, lbfgs
+from lbfgs_ffnn_tpu.types import prepared_aux
+
+
+def _pixel_setup(d_in=9, d1=6, d_out=3, n=64, seed=0):
+    """Inputs exactly on the k/255 grid, like a real image dataset."""
+    spec = mlp_spec([d_in, d1, d_out], ["relu", "linear"])
+    w = mlp_init(spec, jax.random.PRNGKey(seed), dtype=jnp.float32)
+    p = 0.1 * jax.random.normal(jax.random.PRNGKey(seed + 1), w.shape,
+                                dtype=jnp.float32)
+    pix = jax.random.randint(jax.random.PRNGKey(seed + 2), (n, d_in), 0, 256)
+    x = (pix.astype(jnp.float32) / 255.0).astype(jnp.float32)
+    y = jax.random.normal(jax.random.PRNGKey(seed + 3), (n, d_out),
+                          dtype=jnp.float32)
+    return spec, w, p, x, y, pix
+
+
+def test_u8_prepare_contents_and_prefix_dtype():
+    """prepare stores exactly the original pixel integers; the prefix comes
+    out full width (param dtype) with the 1/255 scale already applied."""
+    spec, w, p, x, y, pix = _pixel_setup()
+    prob = mlp_problem(spec, line_input_dtype="uint8",
+                       grad_input_dtype="uint8")
+    paux = prepared_aux(prob, (x, y))
+    assert paux[2].dtype == jnp.uint8
+    np.testing.assert_array_equal(np.asarray(paux[2]),
+                                  np.asarray(pix, dtype=np.uint8))
+    A = prob.line_prefix.init(w, paux)
+    assert A.dtype == jnp.float32
+
+
+def test_u8_restriction_matches_f32_values():
+    """Trial values through the u8 read match the raw-f32 problem to f32
+    rounding (the scale rides the dot output; operands are exact ints)."""
+    spec, w, p, x, y, _ = _pixel_setup()
+    prob_f = mlp_problem(spec)
+    prob_q = mlp_problem(spec, line_input_dtype="uint8")
+    paux = prepared_aux(prob_q, (x, y))
+    lpf, lpq = prob_f.line_prefix, prob_q.line_prefix
+    va_f = lpf.restrict(lpf.init(w, (x, y)), lpf.direction(p, (x, y)),
+                        w, p, (x, y))
+    va_q = lpq.restrict(lpq.init(w, paux), lpq.direction(p, paux),
+                        w, p, paux)
+    for alpha in (0.0, 0.5, 1.0):
+        np.testing.assert_allclose(float(va_q(jnp.float32(alpha))),
+                                   float(va_f(jnp.float32(alpha))),
+                                   rtol=1e-5)
+
+
+def test_u8_gradient_parity():
+    """vag_restrict's manually assembled first-layer gradient through the
+    u8 read matches the autodiff gradient of the raw problem."""
+    spec, w, p, x, y, _ = _pixel_setup()
+    prob_f = mlp_problem(spec)
+    prob_q = mlp_problem(spec, grad_input_dtype="uint8")
+    paux = prepared_aux(prob_q, (x, y))
+    lpq = prob_q.line_prefix
+    A = lpq.init(w, paux)
+    B = lpq.direction(p, paux)
+    f_q, g_q = lpq.vag_restrict(A, B, w, p, paux)(jnp.float32(0.3))
+    g_f = jax.grad(prob_f.fun)(w + 0.3 * p, (x, y))
+    np.testing.assert_allclose(np.asarray(g_q), np.asarray(g_f),
+                               rtol=2e-4, atol=1e-7)
+
+
+def test_u8_offgrid_inputs_quantize_with_clip():
+    """Inputs off the pixel grid clip to [0,1] and round to the grid — an
+    explicit, documented lossy opt-in (never uint8 wraparound)."""
+    spec = mlp_spec([4, 3, 2], ["relu", "linear"])
+    prob = mlp_problem(spec, line_input_dtype="uint8")
+    x = jnp.array([[-0.5, 0.004, 0.999, 1.7]], jnp.float32)
+    y = jnp.zeros((1, 2), jnp.float32)
+    paux = prepared_aux(prob, (x, y))
+    np.testing.assert_array_equal(np.asarray(paux[2]),
+                                  np.array([[0, 1, 255, 255]], np.uint8))
+
+
+def test_u8_non_uint8_integer_rejected():
+    spec = mlp_spec([4, 3, 2], ["relu", "linear"])
+    with pytest.raises(ValueError, match="uint8"):
+        mlp_problem(spec, line_input_dtype="int8")
+
+
+def test_u8_solver_trains_and_stacks_with_bf16_prefix_ring():
+    spec, w, p, x, y, _ = _pixel_setup(d_in=16, d1=32, d_out=4, n=256)
+    opts = LBFGSOptions(max_iters=60, m=10, line_search="armijo")
+    res_f = lbfgs(mlp_problem(spec), w, (x, y), opts)
+    res_q = lbfgs(
+        mlp_problem(spec, line_input_dtype="uint8",
+                    grad_input_dtype="uint8"),
+        w, (x, y),
+        opts._replace(pair_dtype="bfloat16", prefix_dtype="bfloat16"),
+    )
+    assert float(res_q.final_loss) < 1.5 * float(res_f.final_loss) + 1e-2
+
+
+def test_u8_launcher_end_to_end():
+    from lbfgs_ffnn_tpu.data.datasets import load_mnist
+    from lbfgs_ffnn_tpu.launcher import Launcher, UnifiedConfig
+
+    ds = load_mnist(train_size=256, test_size=64)
+    l = (Launcher("cuda").add_layer(784, 16, "relu")
+         .add_layer(16, 10, "linear").build_network().set_data(ds))
+    rep = l.train("lbfgs", UnifiedConfig(
+        name="U8", max_iters=15, m_param=5, log_interval=1,
+        line_input_dtype="uint8", grad_input_dtype="uint8"), verbose=False)
+    assert float(rep.result.final_loss) < 1.0
