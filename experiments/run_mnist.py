@@ -163,9 +163,11 @@ for enabled, suffix, extra in [
      dict(line_input_dtype="bfloat16")),
     (args.bf16_all, "bf16all", _BF16_ALL),
     (args.u8_input, "u8input", dict(line_input_dtype="uint8",
-                                    grad_input_dtype="uint8")),
+                                    grad_input_dtype="uint8",
+                                    fun_input_dtype="uint8")),
     (args.u8_all, "u8all", dict(line_input_dtype="uint8",
                                 grad_input_dtype="uint8",
+                                fun_input_dtype="uint8",
                                 pair_dtype="bfloat16",
                                 prefix_dtype="bfloat16")),
     (args.bf16_compute, "bf16compute", dict(compute_dtype="bfloat16")),
@@ -178,6 +180,14 @@ for enabled, suffix, extra in [
             name=f"{name}_LBFGS_m{m}_{suffix}", max_iters=args.iters,
             tolerance=1e-3 if args.style == "cuda" else 1e-4, m_param=m,
             log_interval=1, two_loop_impl=two_loop, **extra)))
+
+# GD's iteration is one value_and_grad — fun_input_dtype IS its lever
+# (the two x reads are essentially its whole per-iteration HBM traffic).
+if args.u8_input or args.u8_all:
+    runs.append(("gd", UnifiedConfig(
+        name=f"{name}_GD_u8input", max_iters=args.iters, tolerance=1e-3,
+        learning_rate=0.02, momentum=0.9, log_interval=1,
+        fun_input_dtype="uint8")))
 
 meta_runs = []
 for solver, cfg in runs:

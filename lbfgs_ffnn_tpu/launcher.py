@@ -113,6 +113,13 @@ class UnifiedConfig:
                                  # (batch, in_dim) read; bitwise-free on
                                  # TPU where the default f32 dot rounds
                                  # operands to bf16 anyway. mlp.py)
+    fun_input_dtype: Optional[str] = None  # full-objective first-layer
+                                 # input-read dtype — the narrow copy feeds
+                                 # the forward z1 = x@W1 and its backward
+                                 # dW1 = x^T dz1 (the whole per-iteration
+                                 # cost of GD at benchmark shapes). All
+                                 # *_input_dtype values must match; "uint8"
+                                 # = pixel quantization (mlp.py)
 
 
 @dataclasses.dataclass
@@ -162,15 +169,18 @@ class Launcher:
 
     def _get_problem(self, compute_dtype: Optional[str] = None,
                      grad_input_dtype: Optional[str] = None,
-                     line_input_dtype: Optional[str] = None):
+                     line_input_dtype: Optional[str] = None,
+                     fun_input_dtype: Optional[str] = None):
         # One Problem object per launcher per compute policy: solver jit
         # caches key on it, so warm-up and timed runs share the executable.
-        key = ("full", compute_dtype, grad_input_dtype, line_input_dtype)
+        key = ("full", compute_dtype, grad_input_dtype, line_input_dtype,
+               fun_input_dtype)
         if key not in self._prob_cache:
             self._prob_cache[key] = mlp_problem(
                 self.spec, compute_dtype=compute_dtype,
                 grad_input_dtype=grad_input_dtype,
                 line_input_dtype=line_input_dtype,
+                fun_input_dtype=fun_input_dtype,
             )
         return self._prob_cache[key]
 
@@ -226,7 +236,8 @@ class Launcher:
                 result, time_ms = lbfgs_chunked(
                     self._get_problem(config.compute_dtype,
                                       config.grad_input_dtype,
-                                      config.line_input_dtype), self.weights,
+                                      config.line_input_dtype,
+                                      config.fun_input_dtype), self.weights,
                     aux=(self._x, self._y), opts=self._lbfgs_opts(config),
                     chunk=K,
                 )
@@ -248,7 +259,8 @@ class Launcher:
                 result, time_ms = gd_chunked(
                     self._get_problem(config.compute_dtype,
                                       config.grad_input_dtype,
-                                      config.line_input_dtype), self.weights,
+                                      config.line_input_dtype,
+                                      config.fun_input_dtype), self.weights,
                     aux=(self._x, self._y), opts=self._gd_opts(config),
                     chunk=K,
                 )
@@ -401,13 +413,15 @@ class Launcher:
 
         if solver == "gd":
             prob = self._get_problem(c.compute_dtype, c.grad_input_dtype,
-                                     c.line_input_dtype)
+                                     c.line_input_dtype,
+                                     c.fun_input_dtype)
             opts = self._gd_opts(c)
             return lambda: gradient_descent(prob, w0, aux=(x, y), opts=opts)
 
         if solver == "lbfgs":
             prob = self._get_problem(c.compute_dtype, c.grad_input_dtype,
-                                     c.line_input_dtype)
+                                     c.line_input_dtype,
+                                     c.fun_input_dtype)
             opts = self._lbfgs_opts(c)
             return lambda: lbfgs(prob, w0, aux=(x, y), opts=opts)
 

@@ -176,7 +176,7 @@ def mlp_loss(
 
 def mlp_problem(
     spec: MLPSpec, lam: float = 0.0, compute_dtype=None, remat: bool = False,
-    grad_input_dtype=None, line_input_dtype=None,
+    grad_input_dtype=None, line_input_dtype=None, fun_input_dtype=None,
 ) -> Problem:
     """Full-batch Problem; ``aux = (x, y)``.
 
@@ -202,7 +202,19 @@ def mlp_problem(
     x, so this is a separate opt-in from ``grad_input_dtype``: the full-
     batch ``fun`` and the very first f0 stay raw-f32 reads either way.
 
-    Both options also accept ``"uint8"`` for PIXEL data (values on the
+    ``fun_input_dtype`` extends the same narrow read to the FULL objective:
+    the first-layer forward ``z1 = x @ W1`` and (via autodiff) its backward
+    ``dW1 = x^T dz1`` consume the prepared copy, while every other layer is
+    untouched. This is the lever for full-gradient solvers with no line
+    search — GD's iteration is one value_and_grad whose cost at benchmark
+    shapes is almost entirely the two x reads. Loss/gradient VALUES shift
+    by the input-rounding class (bitwise-free on TPU for "bfloat16", and
+    for "uint8" on-grid pixels the quantized read is the more faithful
+    one), so it is an explicit opt-in; un-prepared 2-tuple aux falls back
+    to the raw read.
+
+    All the ``*_input_dtype`` options also accept ``"uint8"`` for PIXEL
+    data (values on the
     k/255 grid, k = 0..255 — MNIST/Fashion exactly): the prepared copy
     stores ``round(x*255)`` as uint8 — a QUARTER of the f32 read (47 vs
     188 MB on the 60k benchmarks) — and every consumer GEMM computes
@@ -231,12 +243,9 @@ def mlp_problem(
     for bf16(w+alpha*p)).
     """
 
-    def fun(w, aux):
+    def _fun_raw(w, aux):
         x, y = aux[0], aux[1]
         return mlp_loss(spec, w, x, y, lam, compute_dtype)
-
-    if remat:
-        fun = jax.checkpoint(fun)
 
     w_off, b_off, d_in, d_out = next(iter(spec.layer_slices()))
     first_elems = d_in * d_out + d_out
@@ -377,23 +386,51 @@ def mlp_problem(
         vag_restrict_carry=None if remat else _vag_restrict_full,
     )
 
-    # ONE prepared narrow copy serves both consumers (vag_restrict's dW1
+    if fun_input_dtype is None:
+        fun = _fun_raw
+    else:
+        def fun(w, aux):
+            # The full objective's first-layer GEMMs (forward z1 and, via
+            # autodiff of this expression, the backward dW1) read the
+            # prepared narrow copy — the whole win for the full-gradient
+            # solvers with no line search (GD reads x twice per iteration
+            # and nothing else of comparable size). Falls back to the raw
+            # read when handed un-prepared 2-tuple aux, which keeps every
+            # caller (f0 probes, harness oracles) valid.
+            y = aux[1]
+            xn = aux[2] if len(aux) > 2 else aux[0]
+            loss = _loss_from_z1(w[first_elems:], _first_affine(w, xn), y,
+                                 aux[0].shape[0])
+            if lam:
+                loss = loss + 0.5 * lam * jnp.vdot(w, w)
+            return loss
+
+    if remat:
+        fun = jax.checkpoint(fun)
+
+    # ONE prepared narrow copy serves every consumer (vag_restrict's dW1
     # read under grad_input_dtype, the restriction GEMMs under
-    # line_input_dtype); requiring a single dtype keeps aux fixed-shape.
+    # line_input_dtype, the full objective under fun_input_dtype);
+    # requiring a single dtype keeps aux fixed-shape.
     narrow_dtype = None
+    narrow_sources = []
     if grad_input_dtype is not None and not remat:
         # Only vag_restrict consumes the grad-side copy; under remat it is
         # disabled (see LinePrefix above), so preparing for it alone would
         # be pure HBM dead weight.
-        narrow_dtype = jnp.dtype(grad_input_dtype)
+        narrow_sources.append(("grad_input_dtype", grad_input_dtype))
     if line_input_dtype is not None:
-        lid = jnp.dtype(line_input_dtype)
-        if narrow_dtype is not None and lid != narrow_dtype:
+        narrow_sources.append(("line_input_dtype", line_input_dtype))
+    if fun_input_dtype is not None:
+        narrow_sources.append(("fun_input_dtype", fun_input_dtype))
+    for _name, _dt in narrow_sources:
+        d = jnp.dtype(_dt)
+        if narrow_dtype is not None and d != narrow_dtype:
             raise ValueError(
-                f"grad_input_dtype={grad_input_dtype!r} and "
-                f"line_input_dtype={line_input_dtype!r} must match — they "
-                "share one prepared input copy")
-        narrow_dtype = lid
+                f"{_name}={_dt!r} conflicts with an earlier narrow input "
+                f"dtype {narrow_dtype} — all *_input_dtype options must "
+                "match; they share one prepared input copy")
+        narrow_dtype = d
 
     prepare = None
     if narrow_dtype is not None:

@@ -54,6 +54,7 @@ parser.add_argument("--m", type=int, default=100)
 parser.add_argument("--pair-dtype", default=None)
 parser.add_argument("--grad-input", default=None)
 parser.add_argument("--line-input", default=None)
+parser.add_argument("--fun-input", default=None)
 parser.add_argument("--prefix-dtype", default=None)
 parser.add_argument("--compute-dtype", default=None)
 parser.add_argument("--two-loop", default="pallas",
@@ -78,7 +79,8 @@ acts = ["relu"] * (len(dims) - 2) + ["linear"]
 spec = mlp_spec(dims, acts)
 prob = mlp_problem(spec, compute_dtype=args.compute_dtype,
                    grad_input_dtype=args.grad_input,
-                   line_input_dtype=args.line_input)
+                   line_input_dtype=args.line_input,
+                   fun_input_dtype=args.fun_input)
 loader = load_mnist if args.dataset == "mnist" else load_fashion_mnist
 ds = loader(train_size=args.train_size, test_size=0)
 x = jnp.asarray(ds.train_x)
@@ -93,6 +95,7 @@ lp = prob.line_prefix
 print(f"# n={n} params, N={x.shape[0]} samples, m={args.m}, "
       f"two_loop={args.two_loop}, pair_dtype={args.pair_dtype}, "
       f"grad_input={args.grad_input}, line_input={args.line_input}, "
+      f"fun_input={args.fun_input}, "
       f"prefix_dtype={args.prefix_dtype}, "
       f"compute_dtype={args.compute_dtype}",
       flush=True)

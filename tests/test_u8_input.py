@@ -111,6 +111,58 @@ def test_u8_solver_trains_and_stacks_with_bf16_prefix_ring():
     assert float(res_q.final_loss) < 1.5 * float(res_f.final_loss) + 1e-2
 
 
+def test_u8_fun_input_bitwise_on_grid_and_grad_parity():
+    """fun_input_dtype="uint8": on-grid pixels make the quantized full
+    objective agree with raw f32 to the ulp (CPU: exact int upcast, one
+    rescale); the autodiff gradient through the narrow read matches too."""
+    spec, w, p, x, y, _ = _pixel_setup()
+    pf = mlp_problem(spec, lam=1e-4)
+    pq = mlp_problem(spec, lam=1e-4, fun_input_dtype="uint8")
+    paux = prepared_aux(pq, (x, y))
+    np.testing.assert_allclose(float(pq.fun(w, paux)),
+                               float(pf.fun(w, (x, y))), rtol=1e-6)
+    gq = jax.grad(pq.fun)(w, paux)
+    gf = jax.grad(pf.fun)(w, (x, y))
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gf),
+                               rtol=2e-4, atol=1e-7)
+    # un-prepared 2-tuple aux falls back to the raw read, bitwise f32
+    np.testing.assert_array_equal(np.asarray(pq.fun(w, (x, y))),
+                                  np.asarray(pf.fun(w, (x, y))))
+
+
+def test_u8_fun_input_remat_gradient():
+    """remat composes with the narrow full objective (checkpointed backward
+    recomputes through the same quantized read)."""
+    spec, w, p, x, y, _ = _pixel_setup()
+    pq = mlp_problem(spec, fun_input_dtype="uint8")
+    pr = mlp_problem(spec, fun_input_dtype="uint8", remat=True)
+    paux = prepared_aux(pq, (x, y))
+    gq = jax.grad(pq.fun)(w, paux)
+    gr = jax.grad(pr.fun)(w, prepared_aux(pr, (x, y)))
+    np.testing.assert_allclose(np.asarray(gr), np.asarray(gq),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_u8_fun_input_gd_trains():
+    from lbfgs_ffnn_tpu.solvers import GDOptions, gradient_descent
+
+    spec, w, p, x, y, _ = _pixel_setup(d_in=16, d1=32, d_out=4, n=256)
+    opts = GDOptions(max_iters=120, step_size=0.05, momentum=0.9,
+                     tol=1e-12, use_line_search=False)
+    res_f = gradient_descent(mlp_problem(spec), w, aux=(x, y), opts=opts)
+    res_q = gradient_descent(mlp_problem(spec, fun_input_dtype="uint8"),
+                             w, aux=(x, y), opts=opts)
+    np.testing.assert_allclose(float(res_q.final_loss),
+                               float(res_f.final_loss), rtol=1e-4)
+
+
+def test_u8_fun_line_dtype_mismatch_raises():
+    spec = mlp_spec([4, 3, 2], ["relu", "linear"])
+    with pytest.raises(ValueError, match="must match"):
+        mlp_problem(spec, line_input_dtype="bfloat16",
+                    fun_input_dtype="uint8")
+
+
 def test_u8_launcher_end_to_end():
     from lbfgs_ffnn_tpu.data.datasets import load_mnist
     from lbfgs_ffnn_tpu.launcher import Launcher, UnifiedConfig
