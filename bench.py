@@ -102,10 +102,17 @@ def main():
     prob_bf16 = mlp_problem(spec, grad_input_dtype="bfloat16",
                             line_input_dtype="bfloat16")
     opts_bf16 = opts._replace(pair_dtype="bfloat16", prefix_dtype="bfloat16")
+    # u8 stack: the benchmark inputs are 8-bit pixel data (every entry is
+    # exactly k/255), so the prepared input copy can be stored as uint8 —
+    # quartering the raw-input HBM read; int->float upcast is exact and the
+    # 1/255 rescale rides the dot epilogue (docs/PERF.md round 3).
+    prob_u8 = mlp_problem(spec, grad_input_dtype="uint8",
+                          line_input_dtype="uint8", fun_input_dtype="uint8")
 
     headline = {}
     for tag, hprob, hopts in (("f32", prob, opts),
-                              ("bf16-traffic", prob_bf16, opts_bf16)):
+                              ("bf16-traffic", prob_bf16, opts_bf16),
+                              ("u8-traffic", prob_u8, opts_bf16)):
         def run_lbfgs(w0, hprob=hprob, hopts=hopts):
             return lbfgs(hprob, w0, aux=(x, y), opts=hopts)
 
@@ -120,15 +127,16 @@ def main():
         )
 
     ms_f, loss_f, acc_f = headline["f32"]
-    ms_b, loss_b, acc_b = headline["bf16-traffic"]
-    parity = loss_b <= loss_f * 1.02 + 1e-6 and acc_b >= acc_f - 0.3
-    if parity and ms_b < ms_f:
-        ms_per_iter, chosen = ms_b, "bf16-traffic"
-    else:
-        ms_per_iter, chosen = ms_f, "f32"
-    log(f"headline config: {chosen} "
-        f"(bf16 parity gate {'PASSED' if parity else 'FAILED'}: "
-        f"loss {loss_b:.5g} vs {loss_f:.5g}, acc {acc_b:.2f} vs {acc_f:.2f})")
+    ms_per_iter, chosen = ms_f, "f32"
+    for tag in ("bf16-traffic", "u8-traffic"):
+        ms_t, loss_t, acc_t = headline[tag]
+        parity = loss_t <= loss_f * 1.02 + 1e-6 and acc_t >= acc_f - 0.3
+        log(f"{tag} parity gate {'PASSED' if parity else 'FAILED'}: "
+            f"loss {loss_t:.5g} vs {loss_f:.5g}, "
+            f"acc {acc_t:.2f} vs {acc_f:.2f}")
+        if parity and ms_t < ms_per_iter:
+            ms_per_iter, chosen = ms_t, tag
+    log(f"headline config: {chosen}")
 
     # ---- supplementary: S-LBFGS epoch cost (reference CPU: 214.7 ms/epoch
     # at N=5000, b=256) ----

@@ -303,11 +303,19 @@ class Launcher:
 
         train_eval = evaluate(self.spec, self.weights, self._x, self._y)
         if verbose:
+            n_it = max(int(result.n_iters), 1)
+            if measured_ms is not None:
+                # Wall includes the warm-up compile; the measured column is
+                # the honest per-iteration cost — print that one.
+                t_s = float(history.time_ms[n_it - 1]) / 1e3
+                t_note = f"measured={t_s:.3f}s ({t_s * 1e3 / n_it:.3f} ms/iter)"
+            else:
+                t_note = f"time={wall:.3f}s ({wall * 1e3 / n_it:.3f} ms/iter)"
             print(
                 f"[{config.name}] {solver}: iters={int(result.n_iters)} "
                 f"loss={float(result.final_loss):.6g} "
                 f"gnorm={float(result.final_gnorm):.4g} "
-                f"time={wall:.3f}s ({wall * 1e3 / max(int(result.n_iters), 1):.3f} ms/iter) "
+                f"{t_note} "
                 f"train_acc={train_eval['accuracy']:.2f}%"
             )
         return TrainReport(result, history, wall, csv_path, train_eval)

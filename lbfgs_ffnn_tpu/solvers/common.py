@@ -8,6 +8,7 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from lbfgs_ffnn_tpu.types import SolveResult
 
@@ -47,7 +48,14 @@ def drive_chunks(run_chunk, state, args, total, counter, done, sync,
     )
     _ = float(sync(run_chunk(warm, *args)))
 
-    time_ms = jnp.full((total,), jnp.nan)
+    # Host-side numpy, NOT a device array: the column is measurement
+    # bookkeeping, and a device `.at[a:b].set()` with fresh slice bounds
+    # per boundary means a remote dispatch (and, first time through the
+    # tunnel, a remote COMPILE — hundreds of ms) landing INSIDE the next
+    # boundary's timed window on the pipelined path. Measured on v5e: the
+    # first launcher run of a process read 2.9 ms/iter for a 0.55 ms/iter
+    # GD solve before this was host-side.
+    time_ms = np.full((total,), np.nan)
     k_prev = counter(state)
 
     if not pipeline:
@@ -57,7 +65,7 @@ def drive_chunks(run_chunk, state, args, total, counter, done, sync,
             state = run_chunk(state, *args)
             k_now = counter(state)  # host sync per chunk (that's the point)
             elapsed += time.perf_counter() - t0
-            time_ms = time_ms.at[k_prev:k_now].set(elapsed * 1e3)
+            time_ms[k_prev:k_now] = elapsed * 1e3
             if callback is not None:
                 callback(state, elapsed)
             if k_now == k_prev or k_now >= total or done(state):
@@ -66,23 +74,25 @@ def drive_chunks(run_chunk, state, args, total, counter, done, sync,
         return state, time_ms
 
     t0 = time.perf_counter()
-    cb_host = 0.0  # accumulated host time spent inside callbacks
+    cb_host = 0.0  # accumulated host time spent at boundaries (callbacks +
+    # the early-stop probe's tunnel round trip) — excluded from later
+    # windows, as the sequential path excludes it (a checkpoint-saving
+    # callback must not inflate later chunks' TimeMs; ``done``'s host pull
+    # is bookkeeping, not solver work). Conservative: the device may keep
+    # running the speculative chunk during this host time, so a long
+    # callback can hide some overlapped compute, never add to it.
     cur = run_chunk(state, *args)
     while True:
         nxt = run_chunk(cur, *args)  # speculative: dispatched before the sync
         k_now = counter(cur)         # blocks until chunk k is done on device
-        # Exclude prior callbacks' host time from the cumulative column —
-        # the sequential path excludes it too (a checkpoint-saving callback
-        # must not inflate later chunks' TimeMs). Conservative: the device
-        # may keep running the speculative chunk during a callback, so a
-        # long callback can hide some overlapped compute, never add to it.
         elapsed = time.perf_counter() - t0 - cb_host
-        time_ms = time_ms.at[k_prev:k_now].set(elapsed * 1e3)
+        time_ms[k_prev:k_now] = elapsed * 1e3
+        th0 = time.perf_counter()
         if callback is not None:
-            tcb = time.perf_counter()
             callback(cur, elapsed)
-            cb_host += time.perf_counter() - tcb
-        if k_now == k_prev or k_now >= total or done(cur):
+        stop = k_now == k_prev or k_now >= total or done(cur)
+        cb_host += time.perf_counter() - th0
+        if stop:
             return cur, time_ms
         k_prev = k_now
         cur = nxt
