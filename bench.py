@@ -178,14 +178,17 @@ def main():
         dbase = LBFGSOptions(max_iters=iters, tol=1e-12, m=100,
                              line_search="armijo", ls_max_iters=20,
                              two_loop_impl=impl)
+        # Two configs: reference-parity f32, and the full u8 traffic stack
+        # (u8 input copy for the restriction/backward GEMMs + bf16 carried
+        # prefix + bf16 ring) — the fastest config in both its per-trial
+        # cost structure and the measured draw (docs/PERF.md round 4: the
+        # round-3 bf16-ring-only config was losing its traffic saving to a
+        # higher Armijo trial count).
         for tag, dprob, dopts in (
             ("f32", mlp_problem(dspec), dbase),
-            ("bf16 ring+gradin",
-             mlp_problem(dspec, grad_input_dtype="bfloat16"),
-             dbase._replace(pair_dtype="bfloat16")),
-            ("bf16 full traffic stack",
-             mlp_problem(dspec, grad_input_dtype="bfloat16",
-                         line_input_dtype="bfloat16"),
+            ("u8 traffic stack",
+             mlp_problem(dspec, grad_input_dtype="uint8",
+                         line_input_dtype="uint8"),
              dbase._replace(pair_dtype="bfloat16", prefix_dtype="bfloat16")),
         ):
             def run_deep(w0, dprob=dprob, dopts=dopts):
