@@ -46,10 +46,15 @@ base = dict(tol=1e-12, m=100, line_search="armijo", ls_max_iters=20,
             two_loop_impl=impl)
 
 U8 = {"grad_input_dtype": "uint8", "line_input_dtype": "uint8"}
+U8STACK = {"pair_dtype": "bfloat16", "prefix_dtype": "bfloat16"}
 CONFIGS = [
-    ("u8-only", U8, {}),
-    ("u8+bf16ring", U8, {"pair_dtype": "bfloat16"}),
-    ("u8+bf16prefix", U8, {"prefix_dtype": "bfloat16"}),
+    # hvp curvature pairs: y = H(x_new)@s instead of g_new - g. In f32 the
+    # gradient difference cancels catastrophically near the plateau (y is
+    # rounding noise), poisoning directions and exhausting the Armijo
+    # budget; the exact jvp-of-grad pair has no cancellation. Costs one
+    # extra gradient-shaped eval per iteration (ng/iter = 2).
+    ("f32+hvp", {}, {"curvature_pairs": "hvp"}),
+    ("u8stack+hvp", U8, {**U8STACK, "curvature_pairs": "hvp"}),
 ]
 
 print(f"# deep 784-256-128-64-10 m=100 N=60000, K1={K1} K2={K2}, "
