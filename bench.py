@@ -109,10 +109,19 @@ def main():
     prob_u8 = mlp_problem(spec, grad_input_dtype="uint8",
                           line_input_dtype="uint8", fun_input_dtype="uint8")
 
+    # warm-started line search (ls_alpha_init="warm"): near the plateau the
+    # accepted step sits orders of magnitude below 1, and the reference's
+    # fixed alpha0=1 restart re-pays the whole shrink ladder every iteration
+    # (~12-14 trials/iter measured); warm-starting at min(1, 8*alpha_prev)
+    # cuts that to ~3 (docs/PERF.md round 4). Gated like every other
+    # candidate: adopted only if final loss/accuracy hold parity with f32.
+    opts_warm = opts_bf16._replace(ls_alpha_init="warm", ls_alpha_growth=8.0)
+
     headline = {}
     for tag, hprob, hopts in (("f32", prob, opts),
                               ("bf16-traffic", prob_bf16, opts_bf16),
-                              ("u8-traffic", prob_u8, opts_bf16)):
+                              ("u8-traffic", prob_u8, opts_bf16),
+                              ("u8-warm", prob_u8, opts_warm)):
         def run_lbfgs(w0, hprob=hprob, hopts=hopts):
             return lbfgs(hprob, w0, aux=(x, y), opts=hopts)
 
@@ -128,7 +137,7 @@ def main():
 
     ms_f, loss_f, acc_f = headline["f32"]
     ms_per_iter, chosen = ms_f, "f32"
-    for tag in ("bf16-traffic", "u8-traffic"):
+    for tag in ("bf16-traffic", "u8-traffic", "u8-warm"):
         ms_t, loss_t, acc_t = headline[tag]
         parity = loss_t <= loss_f * 1.02 + 1e-6 and acc_t >= acc_f - 0.3
         log(f"{tag} parity gate {'PASSED' if parity else 'FAILED'}: "
@@ -184,12 +193,15 @@ def main():
         # cost structure and the measured draw (docs/PERF.md round 4: the
         # round-3 bf16-ring-only config was losing its traffic saving to a
         # higher Armijo trial count).
+        dprob_u8 = mlp_problem(dspec, grad_input_dtype="uint8",
+                               line_input_dtype="uint8")
+        dopts_u8 = dbase._replace(pair_dtype="bfloat16",
+                                  prefix_dtype="bfloat16")
         for tag, dprob, dopts in (
             ("f32", mlp_problem(dspec), dbase),
-            ("u8 traffic stack",
-             mlp_problem(dspec, grad_input_dtype="uint8",
-                         line_input_dtype="uint8"),
-             dbase._replace(pair_dtype="bfloat16", prefix_dtype="bfloat16")),
+            ("u8 traffic stack", dprob_u8, dopts_u8),
+            ("u8 + warm alpha", dprob_u8,
+             dopts_u8._replace(ls_alpha_init="warm", ls_alpha_growth=8.0)),
         ):
             def run_deep(w0, dprob=dprob, dopts=dopts):
                 return lbfgs(dprob, w0, aux=(xd, yd), opts=dopts)

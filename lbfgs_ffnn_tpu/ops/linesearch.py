@@ -56,7 +56,7 @@ def wolfe_line_search(
     c2: float = 0.9,
     shrink: float = 0.5,
     max_iters: int = 50,
-    alpha0: float = 1.0,
+    alpha0: jax.Array | float = 1.0,
     value: Callable[..., jax.Array] | None = None,
     value_along: Callable[[jax.Array], jax.Array] | None = None,
     vag_along: Callable[[jax.Array], tuple] | None = None,
@@ -106,7 +106,7 @@ def wolfe_line_search(
 
     c0 = _C(
         i=jnp.int32(0),
-        alpha=jnp.array(alpha0, dtype=dtype),
+        alpha=jnp.asarray(alpha0, dtype=dtype),
         lo=jnp.zeros((), dtype=dtype),
         hi=inf,
         ok=jnp.array(False),

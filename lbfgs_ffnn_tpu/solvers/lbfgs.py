@@ -127,6 +127,23 @@ class LBFGSOptions(NamedTuple):
     # is set (bounds the bf16 random-walk drift at ~4*eps_bf16 ~ 1.6% of
     # |A| while amortizing the matmul to ~1/16 of an iteration), else 0
     # (f32 drift is rounding-noise level, see types.LinePrefix). 0 = never.
+    ls_alpha_init: str = "fixed"
+    # Initial trial step policy after iteration 0 (iteration 0 always uses
+    # the reference's min(1, 1/||g||) heuristic):
+    #   * "fixed" — alpha0 = 1 every iteration (the reference policy,
+    #     src/cuda/lbfgs.cuh:108 / src/minimizer/lbfgs.hpp:62-65).
+    #   * "warm"  — alpha0 = min(1, ls_alpha_growth * alpha_prev), where
+    #     alpha_prev is the previous iteration's step (carried in solver
+    #     state; on line-search failure, the last trial evaluated — exactly
+    #     the point the reference itself keeps on failure). TPU-only policy,
+    #     no reference counterpart: near a loss plateau the accepted step
+    #     collapses by orders of magnitude, and restarting every search at
+    #     alpha0=1 burns the whole ls_max_iters trial budget re-shrinking —
+    #     the single largest per-iteration cost of the MLP headlines
+    #     (13-20 trials/iter measured, docs/PERF.md round 4). Warm-starting
+    #     resumes at the established scale (~1-3 trials) and the growth
+    #     factor recovers geometrically when larger steps become viable.
+    ls_alpha_growth: float = 2.0  # "warm": per-iteration growth toward 1
 
 
 class _State(NamedTuple):
@@ -140,6 +157,10 @@ class _State(NamedTuple):
     gnorm_h: jax.Array
     nf: jax.Array  # objective (forward / jvp-trial) evaluations
     ng: jax.Array  # full-gradient evaluations
+    alpha_prev: Any = 1.0  # previous iteration's step (scalar, x.dtype):
+                           # the warm-start seed for ls_alpha_init="warm";
+                           # carried (and checkpointed) unconditionally so
+                           # the state layout doesn't depend on the policy.
     prefix: Any = ()  # carried LinePrefix state (e.g. the MLP's A = x@W1+b1);
                       # () when the problem has none. Updated exactly as
                       # prefix += alpha * B on every step (linear in w).
@@ -211,6 +232,7 @@ def _init_state(problem: Problem, opts: LBFGSOptions, x0, aux,
         gnorm_h=gnorm_h,
         nf=jnp.int32(1),
         ng=jnp.int32(1),
+        alpha_prev=jnp.ones((), dtype=x0.dtype),
         prefix=(
             _prefix_cast(opts)(problem.line_prefix.init(x0, aux))
             if _use_prefix(problem, opts) else ()
@@ -228,6 +250,8 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None,
         raise ValueError(f"unknown line_search {opts.line_search!r}")
     if opts.curvature_pairs not in ("grad_diff", "hvp"):
         raise ValueError(f"unknown curvature_pairs {opts.curvature_pairs!r}")
+    if opts.ls_alpha_init not in ("fixed", "warm"):
+        raise ValueError(f"unknown ls_alpha_init {opts.ls_alpha_init!r}")
     if direction is None:
         def direction(g, hist):
             return _direction(g, hist, opts)
@@ -286,10 +310,17 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None,
             dg0 = jnp.where(nondescent, -jnp.vdot(s.g, s.g), dg0)
             hist = reset(hist, nondescent)
 
+            if opts.ls_alpha_init == "warm":
+                later_alpha = jnp.minimum(
+                    jnp.ones_like(s.gnorm),
+                    s.alpha_prev * opts.ls_alpha_growth,
+                ).astype(s.gnorm.dtype)
+            else:
+                later_alpha = jnp.ones_like(s.gnorm)
             alpha0 = jnp.where(
                 s.k == 0,
                 jnp.minimum(jnp.ones_like(s.gnorm), 1.0 / s.gnorm),
-                jnp.ones_like(s.gnorm),
+                later_alpha,
             )
             # Structure-exploiting restriction f(x + a*p) when the problem
             # provides one (e.g. the MLP's affine first layer); only useful
@@ -334,10 +365,17 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None,
                 return alpha, f_new, g_new, jnp.int32(1), jnp.int32(1)
 
             def later(_):
+                if opts.ls_alpha_init == "warm":
+                    wolfe_alpha0 = jnp.minimum(
+                        jnp.ones_like(s.gnorm),
+                        s.alpha_prev * opts.ls_alpha_growth,
+                    ).astype(s.gnorm.dtype)
+                else:
+                    wolfe_alpha0 = 1.0
                 ls = wolfe_line_search(
                     problem.value_and_grad, s.x, p, s.f, dg0, aux,
                     c1=opts.c1, c2=opts.c2, shrink=opts.ls_shrink,
-                    max_iters=opts.ls_max_iters,
+                    max_iters=opts.ls_max_iters, alpha0=wolfe_alpha0,
                     value=problem.fun if lean else None,
                     value_along=va0 if lean else None,
                     vag_along=vag0 if lean else None,
@@ -406,7 +444,8 @@ def _make_body(problem: Problem, opts: LBFGSOptions, direction=None,
         return _State(
             k=s.k + 1, x=x_new, f=f_new, g=g_new, gnorm=gnorm_new,
             hist=hist, loss_h=loss_h, gnorm_h=gnorm_h,
-            nf=s.nf + nf_add, ng=s.ng + ng_add, prefix=prefix_new,
+            nf=s.nf + nf_add, ng=s.ng + ng_add,
+            alpha_prev=alpha.astype(s.gnorm.dtype), prefix=prefix_new,
         )
 
     return body
