@@ -120,6 +120,14 @@ class UnifiedConfig:
                                  # cost of GD at benchmark shapes). All
                                  # *_input_dtype values must match; "uint8"
                                  # = pixel quantization (mlp.py)
+    ls_alpha_init: str = "fixed"  # L-BFGS line-search initial step policy:
+                                 # "fixed" = alpha0=1 every iteration (the
+                                 # reference policy); "warm" = resume at
+                                 # min(1, ls_alpha_growth * previous step)
+                                 # — cuts plateau backtracking from ~13 to
+                                 # ~3 trials/iter (TPU-only policy, see
+                                 # solvers.lbfgs.LBFGSOptions.ls_alpha_init)
+    ls_alpha_growth: float = 8.0  # "warm": per-iteration growth toward 1
 
 
 @dataclasses.dataclass
@@ -369,6 +377,8 @@ class Launcher:
             two_loop_impl=c.two_loop_impl,
             pair_dtype=c.pair_dtype,
             prefix_dtype=c.prefix_dtype,
+            ls_alpha_init=c.ls_alpha_init,
+            ls_alpha_growth=c.ls_alpha_growth,
         )
 
     def _gd_opts(self, c: UnifiedConfig) -> GDOptions:
