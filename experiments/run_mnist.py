@@ -90,6 +90,10 @@ parser.add_argument("--record-accuracy", action="store_true",
                     help="per-epoch TrainAcc+TestAcc columns for the "
                          "stochastic solvers (rendered by plot_results.py, "
                          "reference: scripts/plot_results.py:107-127)")
+parser.add_argument("--only", type=str, default="",
+                    help="run only configs whose name contains this "
+                         "substring (regenerate single variant rows "
+                         "without re-timing a whole artifact directory)")
 parser.add_argument("--timed-chunks", type=int, default=0,
                     help=">0: run every solver in K-iteration chunks with "
                          "measured (not synthesized) cumulative TimeMs; "
@@ -203,6 +207,11 @@ if args.u8_input or args.u8_all:
         learning_rate=0.02, momentum=0.9, log_interval=1,
         fun_input_dtype="uint8")))
 
+if args.only:
+    runs = [(s, c) for s, c in runs if args.only in c.name]
+    if not runs:
+        parser.error(f"--only {args.only!r} matches no configured run")
+
 meta_runs = []
 for solver, cfg in runs:
     if args.record_accuracy and solver in ("sgd", "slbfgs"):
@@ -257,6 +266,18 @@ def _write_run_meta():
             "time on the last row."),
         "runs": meta_runs,
     }
+    if args.only and os.path.exists("run_meta.json"):
+        # Partial regeneration: merge into the existing provenance instead
+        # of clobbering the full directory's run list.
+        try:
+            with open("run_meta.json") as f:
+                old = json.load(f)
+            merged = {r["name"]: r for r in old.get("runs", [])}
+            merged.update({r["name"]: r for r in meta_runs})
+            meta["runs"] = list(merged.values())
+            meta["cmd"] = old.get("cmd", meta["cmd"]) + f" ;; {meta['cmd']}"
+        except Exception:
+            pass
     with open("run_meta.json", "w") as f:
         json.dump(meta, f, indent=2)
         f.write("\n")

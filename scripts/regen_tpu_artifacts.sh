@@ -11,9 +11,9 @@ run() {  # run <results_subdir> <run_mnist args...>
   python "$R/experiments/run_mnist.py" --timed-chunks -1 --record-accuracy "$@"
   python "$R/scripts/plot_results.py" . || true
 }
-run tpu_mnist_784_128_10        --style cuda --dataset mnist   --iters 1000 --batched-ls --bf16-ring --bf16-grad-input --bf16-prefix --bf16-all --u8-all
+run tpu_mnist_784_128_10        --style cuda --dataset mnist   --iters 1000 --batched-ls --bf16-ring --bf16-grad-input --bf16-prefix --bf16-all --u8-all --warm-alpha
 run tpu_mnist_cpu_style_s5000   --style cpu  --dataset mnist   --iters 1000
 run tpu_fashion_784_128_10      --style cuda --dataset fashion --iters 1000
 run tpu_fashion_cpu_style_s5000 --style cpu  --dataset fashion --iters 500
-run tpu_fashion_deep            --style cuda --dataset fashion --iters 1000 --deep --bf16-ring --bf16-grad-input --bf16-prefix --bf16-all --u8-all
+run tpu_fashion_deep            --style cuda --dataset fashion --iters 1000 --deep --bf16-ring --bf16-grad-input --bf16-prefix --bf16-all --u8-all --warm-alpha
 run tpu_fashion_deep_cpu_style  --style cpu  --dataset fashion --iters 500 --deep
