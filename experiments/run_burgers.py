@@ -29,6 +29,12 @@ parser.add_argument("--curvature", choices=["grad_diff", "hvp"], default="grad_d
                          "the PINN matmuls run at full f32 precision; hvp "
                          "(exact H*s) needs ~6x fewer line-search trials at a "
                          "slightly higher final loss")
+parser.add_argument("--warm-alpha", action="store_true",
+                    help="warm-started line-search initial step "
+                         "(ls_alpha_init='warm'): resume each Wolfe search "
+                         "at min(1, 8*alpha_prev) instead of alpha0=1 — "
+                         "candidate for the PINN plateau's trial burn "
+                         "(docs/PERF.md round 4)")
 parser.add_argument("--out", default="burgers_test_extrapolation.csv")
 args = parser.parse_args()
 
@@ -65,6 +71,7 @@ curv = args.curvature
 opts = LBFGSOptions(max_iters=args.iters, tol=1e-10, m=100, ls_max_iters=100,
                     curvature_rel_eps=rel, ls_value_only=True,
                     curvature_pairs=curv,
+                    ls_alpha_init="warm" if args.warm_alpha else "fixed",
                     two_loop_impl="pallas" if jax.default_backend() == "tpu" else "xla")
 
 # Warm-up on a perturbed init: compiles the solve (and defeats the axon
@@ -79,7 +86,8 @@ res = lbfgs(prob, w0, aux=pts, opts=opts)
 loss = float(res.final_loss)
 label = "Training Time" if warmed else "Training Time (incl. compile)"
 print(f"{label}: {time.perf_counter() - t0:.1f}s  "
-      f"iters={int(res.n_iters)} loss={loss:.6g} ||g||={float(res.final_gnorm):.3g}")
+      f"iters={int(res.n_iters)} loss={loss:.6g} ||g||={float(res.final_gnorm):.3g} "
+      f"nf={int(res.n_fevals)} ng={int(res.n_gevals)}")
 
 with open(args.out, "w") as f:
     f.write("x,t,u,type\n")

@@ -447,7 +447,7 @@ def _make_parts(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: 
             def run_epoch(s: _State) -> _State:
                 wr0 = _vr_push(_vr_empty(cap, n, w0.dtype), s.w)
 
-                ts = jnp.arange(m_inner)
+                ts_all = jnp.arange(m_inner)
                 if ops.epoch_batch_idx is not None:
                     # Draw every inner step's batch up front: one vmapped
                     # permutation over the per-step keys instead of a sort
@@ -459,77 +459,107 @@ def _make_parts(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: 
                         lambda t: jax.random.fold_in(
                             jax.random.fold_in(k_epoch, t), 0
                         )
-                    )(ts)
+                    )(ts_all)
                     idx_all = ops.epoch_batch_idx(step_keys)
-                    xs_in = (ts, idx_all)
                 else:
-                    xs_in = (ts, ts)  # second element unused
+                    idx_all = ts_all  # per-step placeholder, unused
 
-                def inner(carry, t_and_idx):
-                    t, idx_row = t_and_idx
-                    wt, hist, wr, u_prev, has_u = carry
-                    k_t = jax.random.fold_in(k_epoch, t)
-                    # Variance-reduced gradient (s_lbfgs.hpp:225-228).
-                    if ops.epoch_batch_idx is not None:
-                        g_t, g_anchor = ops.batch_grads_at(wt, s.w, idx_row)
+                # The epoch runs as cond-free L-step segment scans with the
+                # curvature update in STRAIGHT-LINE code between them. The
+                # reference updates every L-th step (s_lbfgs.hpp:231-264),
+                # and the previous formulation expressed that as a per-step
+                # lax.cond inside one scan — measured 41 us/step of pure
+                # cond machinery on v5e (operand materialization for the
+                # captured iterate ring + n-sized branch outputs, paid on
+                # EVERY step while the branch runs on every 10th; see
+                # scripts/diag_stochastic_step.py and docs/PERF.md round 4).
+                # Segment boundaries are static (m_inner, L are options), so
+                # the schedule is: prologue scan over t in [0, L] + pair at
+                # t=L; an outer scan over the (L steps + pair) full segments
+                # (compiles once regardless of their number); a tail scan
+                # for the remainder. Per-step math, RNG streams and ring
+                # pushes are expression-identical, so trajectories are
+                # bit-equal (pinned by the f64 mirror parity test).
+                def steps_scan(wt, hist, wr, ts, idx_rows):
+                    # hist is captured, not carried: it never changes inside
+                    # a segment, so it enters the scan as one invariant
+                    # operand instead of a per-step carry.
+                    def vr_step(carry, t_and_idx):
+                        t, idx_row = t_and_idx
+                        wt, wr = carry
+                        # Variance-reduced gradient (s_lbfgs.hpp:225-228).
+                        if ops.epoch_batch_idx is not None:
+                            g_t, g_anchor = ops.batch_grads_at(wt, s.w, idx_row)
+                        else:
+                            k_t = jax.random.fold_in(k_epoch, t)
+                            g_t, g_anchor = ops.batch_grads(
+                                wt, s.w, jax.random.fold_in(k_t, 0)
+                            )
+                        v = g_t - g_anchor + mu
+                        d = direction(v, hist)
+                        wt = wt - opts.step_size * d
+                        wr = _vr_push(wr, wt)
+                        return (wt, wr), None
+
+                    (wt, wr), _ = lax.scan(vr_step, (wt, wr), (ts, idx_rows))
+                    return wt, wr
+
+                def pair_update(t_b, wt, wr, hist, u_prev, has_u):
+                    # Curvature pair from averaged recent iterates
+                    # (s_lbfgs.hpp:231-247). Runs unconditionally at the
+                    # boundary; `accept & has_u` masks the ring push when no
+                    # previous average exists yet (the pre-first-boundary
+                    # state), which matches the old cond's no-pair branch
+                    # bit-for-bit (a masked ring_push is a no-op either way).
+                    k_t = jax.random.fold_in(k_epoch, t_b)
+                    u = _vr_mean(wr)
+                    s_vec = u - u_prev
+                    yv = ops.hvp(u, s_vec, jax.random.fold_in(k_t, 1))
+                    ys = jnp.vdot(yv, s_vec)
+                    if opts.curvature_rel_eps > 0.0:
+                        gate = (opts.curvature_rel_eps
+                                * jnp.linalg.norm(yv) * jnp.linalg.norm(s_vec))
                     else:
-                        g_t, g_anchor = ops.batch_grads(
-                            wt, s.w, jax.random.fold_in(k_t, 0)
-                        )
-                    v = g_t - g_anchor + mu
-                    d = direction(v, hist)
-                    wt = wt - opts.step_size * d
-                    wr = _vr_push(wr, wt)
+                        gate = opts.curvature_eps
+                    accept = (jnp.abs(ys) > gate) & has_u
+                    rho = jnp.where(accept, 1.0 / jnp.where(ys == 0, 1.0, ys), 0.0)
+                    hist = ring_push(hist, s_vec, yv, rho, accept)
+                    return hist, u, jnp.array(True)
 
-                    # Curvature-pair computation under the cond; the BIG
-                    # operand (the m x n curvature ring) stays OUTSIDE —
-                    # lax.cond operands can force whole-buffer copies per
-                    # step, so only the small (s_vec, y, rho, accept)
-                    # results cross the boundary and the ring is updated by
-                    # one unconditional masked ring_push.
-                    do_update = (t > 0) & (t % opts.L == 0)
+                nb = (m_inner - 1) // opts.L  # boundaries at L, 2L, ..., nb*L
+                wt, hist, wr = s.w, s.hist, wr0
+                u_prev, has_u = s.u_prev, s.has_u
 
-                    def curvature(args):
-                        u_prev, has_u = args
-                        u = _vr_mean(wr)
-
-                        def with_pair(_):
-                            s_vec = u - u_prev
-                            yv = ops.hvp(u, s_vec, jax.random.fold_in(k_t, 1))
-                            ys = jnp.vdot(yv, s_vec)
-                            if opts.curvature_rel_eps > 0.0:
-                                gate = (opts.curvature_rel_eps
-                                        * jnp.linalg.norm(yv) * jnp.linalg.norm(s_vec))
-                            else:
-                                gate = opts.curvature_eps
-                            accept = jnp.abs(ys) > gate
-                            rho = jnp.where(accept, 1.0 / jnp.where(ys == 0, 1.0, ys), 0.0)
-                            return s_vec, yv, rho, accept
-
-                        def no_pair(_):
-                            z = jnp.zeros_like(wt)
-                            return z, z, jnp.zeros((), wt.dtype), jnp.array(False)
-
-                        s_vec, yv, rho, accept = lax.cond(has_u, with_pair, no_pair, None)
-                        return s_vec, yv, rho, accept, u, jnp.array(True)
-
-                    def skip(args):
-                        u_prev, has_u = args
-                        z = jnp.zeros_like(wt)
-                        return (z, z, jnp.zeros((), wt.dtype), jnp.array(False),
-                                u_prev, has_u)
-
-                    s_vec, yv, rho, accept, u_prev, has_u = lax.cond(
-                        do_update, curvature, skip, (u_prev, has_u)
+                p_end = opts.L if nb >= 1 else m_inner - 1  # inclusive
+                wt, wr = steps_scan(wt, hist, wr,
+                                    ts_all[: p_end + 1], idx_all[: p_end + 1])
+                if nb >= 1:
+                    hist, u_prev, has_u = pair_update(
+                        opts.L, wt, wr, hist, u_prev, has_u
                     )
-                    hist = ring_push(hist, s_vec, yv, rho, accept & do_update)
-                    return (wt, hist, wr, u_prev, has_u), None
+                if nb >= 2:
+                    def segment(carry, k):
+                        wt, hist, wr, u_prev, has_u = carry
+                        start = k * opts.L + 1
+                        ts = start + jnp.arange(opts.L)
+                        idx_rows = lax.dynamic_slice_in_dim(
+                            idx_all, start, opts.L, axis=0
+                        )
+                        wt, wr = steps_scan(wt, hist, wr, ts, idx_rows)
+                        hist, u_prev, has_u = pair_update(
+                            (k + 1) * opts.L, wt, wr, hist, u_prev, has_u
+                        )
+                        return (wt, hist, wr, u_prev, has_u), None
 
-                (wt, hist, wr, u_prev, has_u), _ = lax.scan(
-                    inner,
-                    (s.w, s.hist, wr0, s.u_prev, s.has_u),
-                    xs_in,
-                )
+                    (wt, hist, wr, u_prev, has_u), _ = lax.scan(
+                        segment, (wt, hist, wr, u_prev, has_u),
+                        jnp.arange(1, nb)
+                    )
+                tail = m_inner - 1 - nb * opts.L
+                if tail > 0 and nb >= 1:
+                    start = nb * opts.L + 1
+                    wt, wr = steps_scan(wt, hist, wr,
+                                        ts_all[start:], idx_all[start:])
 
                 # Anchor reset to a random recent iterate (s_lbfgs.hpp:265-270).
                 k_r = jax.random.fold_in(k_epoch, 2**20)
