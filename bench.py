@@ -116,28 +116,40 @@ def main():
     # cuts that to ~3 (docs/PERF.md round 4). Gated like every other
     # candidate: adopted only if final loss/accuracy hold parity with f32.
     opts_warm = opts_bf16._replace(ls_alpha_init="warm", ls_alpha_growth=8.0)
+    # u8-warm-nr: refresh machinery removed entirely (prefix_refresh=0).
+    # Measured round 4: merely HAVING the refresh path in the program costs
+    # ~55-75 us/iter at this config, independent of how often it fires
+    # (docs/PERF.md round 4). Without re-anchoring, the stored bf16 prefix
+    # drifts at ~sqrt(iters)*eps_bf16, so the gate below judges this config
+    # (like every config) by the EXACT final loss recomputed with the plain
+    # f32 objective at the returned iterate — the drifted in-solver loss is
+    # never what is compared.
+    opts_warm_nr = opts_warm._replace(prefix_refresh=0)
+
+    exact_loss = jax.jit(lambda w: prob.fun(w, (x, y)))
 
     headline = {}
     for tag, hprob, hopts in (("f32", prob, opts),
                               ("bf16-traffic", prob_bf16, opts_bf16),
                               ("u8-traffic", prob_u8, opts_bf16),
-                              ("u8-warm", prob_u8, opts_warm)):
+                              ("u8-warm", prob_u8, opts_warm),
+                              ("u8-warm-nr", prob_u8, opts_warm_nr)):
         def run_lbfgs(w0, hprob=hprob, hopts=hopts):
             return lbfgs(hprob, w0, aux=(x, y), opts=hopts)
 
         wall, n_iters, res = time_solve(run_lbfgs, w0s)
         acc = evaluate(spec, res.x, x, y)["accuracy"]
         headline[tag] = (wall * 1e3 / max(n_iters, 1),
-                         float(res.final_loss), float(acc))
+                         float(exact_loss(res.x)), float(acc))
         log(
             f"L-BFGS m=10 N={n_train} [{tag}]: {n_iters} iters in "
             f"{wall:.3f}s -> {headline[tag][0]:.3f} ms/iter, final loss "
-            f"{headline[tag][1]:.5g}, train acc {acc:.2f}%"
+            f"{headline[tag][1]:.5g} (exact f32 eval), train acc {acc:.2f}%"
         )
 
     ms_f, loss_f, acc_f = headline["f32"]
     ms_per_iter, chosen = ms_f, "f32"
-    for tag in ("bf16-traffic", "u8-traffic", "u8-warm"):
+    for tag in ("bf16-traffic", "u8-traffic", "u8-warm", "u8-warm-nr"):
         ms_t, loss_t, acc_t = headline[tag]
         parity = loss_t <= loss_f * 1.02 + 1e-6 and acc_t >= acc_f - 0.3
         log(f"{tag} parity gate {'PASSED' if parity else 'FAILED'}: "
