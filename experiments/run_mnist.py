@@ -219,7 +219,13 @@ for solver, cfg in runs:
     if args.timed_chunks > 0:
         cfg.timed_chunks = args.timed_chunks
     elif args.timed_chunks == -1:
-        cfg.timed_chunks = max(50, cfg.max_iters // 5)
+        # SGD epochs are ms-scale and the cuda-style run stops on relative
+        # improvement after ~20 epochs — a max_iters/5 chunk would put the
+        # whole run in ONE chunk, leaving its dispatch+sync tunnel RTT
+        # (~30-40 ms, several ms/epoch!) on the measured clock. Small
+        # chunks keep the pipelined driver's RTT overlap engaged and give
+        # the TimeMs column per-5-epoch resolution.
+        cfg.timed_chunks = 5 if solver == "sgd" else max(50, cfg.max_iters // 5)
     print(f"Running {cfg.name} ({solver})...")
     launcher.train(solver, cfg)
     launcher.test()
