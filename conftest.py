@@ -21,3 +21,24 @@ if not os.environ.get("LBFGS_TPU_TESTS"):
 # TPU mode: leave x64 off — the chip has no native f64 and the software
 # emulation is both ~1000x slower and unstable through the axon tunnel;
 # f64-oracle tests skip themselves when x64 is unavailable.
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    The full suite compiles ~250 distinct whole-training-run XLA CPU
+    programs (many of them 8-virtual-device SPMD). Letting them all stay
+    live segfaulted the XLA CPU compiler (inside
+    ``backend_compile_and_load``) near the END of the suite — reproduced
+    2/2 at the same test, which passes in isolation, with its whole file,
+    and with multi-file prefixes (VERDICT round 4: an accumulated
+    compiler-state interaction, not OOM). Dropping executable references at
+    module boundaries keeps the live-program population bounded; the
+    next module recompiles what it needs (lru-cached solver wrappers hold
+    ``jax.jit`` objects whose underlying executables repopulate on call).
+    """
+    yield
+    jax.clear_caches()
