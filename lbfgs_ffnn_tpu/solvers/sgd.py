@@ -131,9 +131,13 @@ def _make_parts(problem: BatchProblem, opts: SGDOptions, N: int):
                 w, v = carry
                 _, idx = t_and_idx
                 xb, yb = jnp.take(x, idx, axis=0), jnp.take(y, idx, axis=0)
-                g = problem.grad(w, xb, yb)
+                # value_and_grad, not grad: the forward already computes the
+                # batch loss, and the epoch loss must be real — a zero here
+                # made record_full=False histories all-zero and tripped the
+                # relative-improvement stop at epoch 2 (|0-0| < tol).
+                loss, g = problem.value_and_grad(w, xb, yb)
                 w, v = update(w, v, lr, g)
-                return (w, v), jnp.zeros((), dtype=w.dtype)
+                return (w, v), loss * b
 
             def minibatch_sequential(carry, t):
                 w, v = carry
@@ -164,9 +168,14 @@ def _make_parts(problem: BatchProblem, opts: SGDOptions, N: int):
                 (w, v), losses = lax.scan(
                     minibatch_random, (s.w, s.v), (ts, idx_all)
                 )
+                # Batch-weighted mean over the m*b samples actually visited
+                # this epoch (random mode draws m = N//b full batches, so the
+                # ragged tail is never touched; reference CPU SGD likewise,
+                # src/minimizer/s_gd.hpp:95-106).
+                epoch_loss = jnp.sum(losses) / (m * b)
             else:
                 (w, v), losses = lax.scan(minibatch_sequential, (s.w, s.v), ts)
-            epoch_loss = jnp.sum(losses) / N  # batch-weighted mean (CUDA-ref)
+                epoch_loss = jnp.sum(losses) / N  # batch-weighted mean (CUDA-ref)
 
             # Recorder: full-dataset loss + gradient norm per epoch
             # (reference: src/minimizer/s_gd.hpp:108-131, src/cuda/sgd.cuh:134-145).
