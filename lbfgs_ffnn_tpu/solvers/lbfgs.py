@@ -143,7 +143,13 @@ class LBFGSOptions(NamedTuple):
     #     (13-20 trials/iter measured, docs/PERF.md round 4). Warm-starting
     #     resumes at the established scale (~1-3 trials) and the growth
     #     factor recovers geometrically when larger steps become viable.
-    ls_alpha_growth: float = 2.0  # "warm": per-iteration growth toward 1
+    ls_alpha_growth: float = 8.0  # "warm": per-iteration growth toward 1.
+                                  # 8.0 is the value benchmarked in
+                                  # docs/PERF.md round 4 and the launcher's
+                                  # UnifiedConfig default — kept identical so
+                                  # a direct-API user opting into "warm" gets
+                                  # the measured policy (pinned by
+                                  # tests/test_launcher.py).
 
 
 class _State(NamedTuple):
