@@ -66,6 +66,13 @@ def restore_checkpoint(path: str | Path, template: Any, *, allow_partial: bool =
         restored = ckptr.restore(path)
         filled: list[str] = []
         out = _fill_from_template(template, restored, "", filled)
+        if not filled and not _has_extras(template, restored):
+            # The template-free read's structure agrees with the template
+            # exactly (no missing fields, no extra keys), so the original
+            # failure was NOT a structure mismatch — e.g. a genuine
+            # value-level corruption that happened to raise ValueError.
+            # Propagate it instead of returning a silently re-read tree.
+            raise
         if filled:
             non_scalar = [
                 p for p, is_scalar in filled_kinds(template, filled) if not is_scalar
@@ -94,6 +101,37 @@ def _is_structure_mismatch(e: Exception) -> bool:
         return True
     mod = type(e).__module__ or ""
     return mod.startswith("orbax") or mod.startswith("etils")
+
+
+def _has_extras(template: Any, restored: Any) -> bool:
+    """True if the template-free read holds keys/fields/elements the
+    template does not — the downgrade half of a structure mismatch (the
+    upgrade half is detected by ``_fill_from_template``'s ``filled``)."""
+    if hasattr(template, "_fields"):
+        if not isinstance(restored, dict):
+            return True
+        fields = set(template._fields)
+        return any(k not in fields for k in restored) or any(
+            _has_extras(getattr(template, f), restored[f])
+            for f in template._fields if f in restored
+        )
+    if isinstance(template, dict):
+        if not isinstance(restored, dict):
+            return True
+        return any(k not in template for k in restored) or any(
+            _has_extras(v, restored[k]) for k, v in template.items() if k in restored
+        )
+    if isinstance(template, (list, tuple)):
+        if isinstance(restored, dict):
+            seq = [restored[k] for k in sorted(restored, key=lambda s: int(s) if s.isdigit() else 0)]
+        elif isinstance(restored, (list, tuple)):
+            seq = list(restored)
+        else:
+            return True
+        if len(seq) > len(template):
+            return True
+        return any(_has_extras(t, r) for t, r in zip(template, seq))
+    return False
 
 
 def filled_kinds(template: Any, paths: list[str]) -> list[tuple[str, bool]]:
