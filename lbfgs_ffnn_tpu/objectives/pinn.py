@@ -41,7 +41,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lbfgs_ffnn_tpu.objectives.mlp import MLPSpec, mlp_apply, mlp_apply_single, mlp_spec
-from lbfgs_ffnn_tpu.types import Problem, make_problem
+from lbfgs_ffnn_tpu.types import Problem, make_problem, zero_masked_rows
 
 
 def pinn_init(spec: MLPSpec, key: jax.Array, dtype=jnp.float32) -> jax.Array:
@@ -167,6 +167,60 @@ def burgers_residual(
     return jax.vmap(per_point)(xt)
 
 
+class MaskedBurgersPoints(NamedTuple):
+    """Burgers point sets zero-padded to a common multiple with 0/1 row
+    masks — the fixed-shape form the data-parallel objective shards over a
+    device mesh (each of the four sets is ragged; padding makes every
+    device's shard equal-size so psum-of-local-sums is the exact global
+    sum)."""
+
+    ic_xt: jax.Array       # (n_ic_pad, 2)
+    ic_target: jax.Array   # (n_ic_pad,)
+    ic_mask: jax.Array     # (n_ic_pad,)
+    bc_xt: jax.Array       # (n_bc_pad, 2)
+    bc_mask: jax.Array     # (n_bc_pad,)
+    col_xt: jax.Array      # (n_col_pad, 2)
+    col_mask: jax.Array    # (n_col_pad,)
+
+
+def pad_burgers_points(pts: BurgersPoints, n_shards: int) -> MaskedBurgersPoints:
+    """Zero-pad each point set to a multiple of ``n_shards`` with row masks.
+
+    Padding rows are zeros (never NaN): together with the masked-mean
+    discipline in the data-parallel loss this keeps both the forward and
+    the VJP clean (see types.zero_masked_rows)."""
+
+    def pad1(a, n_pad):
+        return jnp.pad(a, ((0, n_pad),) + ((0, 0),) * (a.ndim - 1))
+
+    def padded(a):
+        n = a.shape[0]
+        n_pad = (-n) % n_shards
+        mask = jnp.concatenate([
+            jnp.ones((n,), dtype=a.dtype), jnp.zeros((n_pad,), dtype=a.dtype)
+        ])
+        return pad1(a, n_pad), mask
+
+    ic_xt, ic_mask = padded(pts.ic_xt)
+    ic_target = jnp.pad(pts.ic_target, (0, ic_xt.shape[0] - pts.ic_target.shape[0]))
+    bc_xt, bc_mask = padded(pts.bc_xt)
+    col_xt, col_mask = padded(pts.col_xt)
+    return MaskedBurgersPoints(
+        ic_xt=ic_xt, ic_target=ic_target, ic_mask=ic_mask,
+        bc_xt=bc_xt, bc_mask=bc_mask, col_xt=col_xt, col_mask=col_mask,
+    )
+
+
+def shard_burgers_points(mesh, mpts: MaskedBurgersPoints, axis_name: str = "data"):
+    """Place every padded array with its point axis sharded over the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P(axis_name))
+    return MaskedBurgersPoints(
+        *(jax.device_put(a, sharding) for a in mpts)
+    )
+
+
 def burgers_problem(
     spec: MLPSpec | None = None,
     w_ic: float = 20.0,
@@ -174,25 +228,82 @@ def burgers_problem(
     w_pde: float = 1.0,
     nu: float = BURGERS_NU,
     precision: str = "highest",
+    mesh=None,
+    axis_name: str = "data",
 ) -> Problem:
     """Weighted IC/BC/PDE mean-squared loss
     (reference: test_burgers_parallel.cpp:127-161).
 
     ``precision`` sets the matmul precision the loss (and everything AD
     derives from it) is traced under — "highest" is required for f32
-    convergence on TPU (see the module docstring)."""
+    convergence on TPU (see the module docstring).
+
+    With ``mesh`` given, the returned problem is **data-parallel over the
+    collocation/IC/BC point axes** — the multi-device generalization of the
+    reference's OpenMP loop over points with a critical-section gradient
+    reduction (reference: tests/burgers/test_burgers_parallel.cpp:171-208).
+    ``aux`` must then be a :class:`MaskedBurgersPoints` (from
+    :func:`pad_burgers_points`, ideally placed with
+    :func:`shard_burgers_points`); each device evaluates its point shards
+    and the three weighted mean residual terms are ``psum``-reduced; the
+    weight-cotangent all-reduce is inserted by shard_map's transpose.
+    Solver state (weights, curvature ring, line search) stays replicated.
+    """
     spec = spec or default_burgers_spec()
 
+    if mesh is None:
+        def fun(w, aux):
+            pts: BurgersPoints = aux
+            with jax.default_matmul_precision(precision):
+                u_ic = _u(spec, w, pts.ic_xt)
+                loss_ic = jnp.mean((u_ic - pts.ic_target) ** 2)
+                u_bc = _u(spec, w, pts.bc_xt)
+                loss_bc = jnp.mean(u_bc**2)
+                r = burgers_residual(spec, w, pts.col_xt, nu)
+                loss_pde = jnp.mean(r**2)
+                return w_ic * loss_ic + w_bc * loss_bc + w_pde * loss_pde
+
+        return make_problem(fun)
+
+    from jax.sharding import PartitionSpec as P
+
+    axis = axis_name
+
+    def local(w, ic_xt, ic_t, ic_m, bc_xt, bc_m, col_xt, col_m):
+        # Masked means with the padded rows zeroed BEFORE the network sees
+        # them (zero cotangent times a NaN activation is NaN — same
+        # discipline as parallel/shard.py fun_masked_local). psum of local
+        # masked sums over equal-size shards is the exact global sum; the
+        # divisor is the true (unpadded) point count.
+        ic_xt = zero_masked_rows(ic_m, ic_xt)
+        bc_xt = zero_masked_rows(bc_m, bc_xt)
+        col_xt = zero_masked_rows(col_m, col_xt)
+        u_ic = _u(spec, w, ic_xt)
+        s_ic = jnp.sum(jnp.where(ic_m > 0, (u_ic - ic_t) ** 2, 0.0))
+        loss_ic = jax.lax.psum(s_ic, axis) / jax.lax.psum(jnp.sum(ic_m), axis)
+        u_bc = _u(spec, w, bc_xt)
+        s_bc = jnp.sum(jnp.where(bc_m > 0, u_bc**2, 0.0))
+        loss_bc = jax.lax.psum(s_bc, axis) / jax.lax.psum(jnp.sum(bc_m), axis)
+        r = burgers_residual(spec, w, col_xt, nu)
+        s_pde = jnp.sum(jnp.where(col_m > 0, r**2, 0.0))
+        loss_pde = jax.lax.psum(s_pde, axis) / jax.lax.psum(jnp.sum(col_m), axis)
+        return w_ic * loss_ic + w_bc * loss_bc + w_pde * loss_pde
+
     def fun(w, aux):
-        pts: BurgersPoints = aux
+        mp: MaskedBurgersPoints = aux
         with jax.default_matmul_precision(precision):
-            u_ic = _u(spec, w, pts.ic_xt)
-            loss_ic = jnp.mean((u_ic - pts.ic_target) ** 2)
-            u_bc = _u(spec, w, pts.bc_xt)
-            loss_bc = jnp.mean(u_bc**2)
-            r = burgers_residual(spec, w, pts.col_xt, nu)
-            loss_pde = jnp.mean(r**2)
-            return w_ic * loss_ic + w_bc * loss_bc + w_pde * loss_pde
+            # check_vma=False: the residual's vmapped jvp-of-jvp creates
+            # unvarying tangent constants (the e_x/e_t seed vectors) that
+            # feed dot_generals against device-varying activations, which
+            # the strict varying-manual-axes checker rejects even though
+            # the program is valid. Disabling the check keeps the exact
+            # same collectives; loss/grad equality with the single-device
+            # objective is pinned in tests/test_pinn.py.
+            return jax.shard_map(
+                local, mesh=mesh,
+                in_specs=(P(),) + (P(axis),) * 7, out_specs=P(),
+                check_vma=False,
+            )(w, *mp)
 
     return make_problem(fun)
 

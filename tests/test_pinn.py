@@ -91,6 +91,47 @@ def test_oscillator_learns_sin():
     assert err < 0.05, f"max |u - sin| = {err}"
 
 
+def test_burgers_data_parallel_matches_single_device():
+    """Data-parallel Burgers objective (the reference's one genuine
+    parallelism axis: OpenMP over collocation points with a critical-section
+    gradient reduction, tests/burgers/test_burgers_parallel.cpp:171-208)
+    sharded over the 8-virtual-device mesh: loss and gradient match the
+    single-device objective, and a short f64 L-BFGS trajectory stays on the
+    single-device trajectory."""
+    from lbfgs_ffnn_tpu.objectives.pinn import (
+        pad_burgers_points, shard_burgers_points,
+    )
+    from lbfgs_ffnn_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device (virtual CPU farm)")
+    mesh = make_mesh(axis_name="data")
+    n_dev = mesh.devices.size
+
+    spec = default_burgers_spec(width=10)
+    prob = burgers_problem(spec)
+    dp_prob = burgers_problem(spec, mesh=mesh)
+    # coarse ragged grids: none of the three sets divides 8 evenly
+    pts = burgers_points(dx=0.05, dt=0.1, int_dx=0.1, int_dt=0.2,
+                         dtype=jnp.float64)
+    assert pts.ic_xt.shape[0] % n_dev != 0  # padding actually exercised
+    mpts = shard_burgers_points(mesh, pad_burgers_points(pts, n_dev))
+    w0 = pinn_init(spec, jax.random.PRNGKey(2), dtype=jnp.float64)
+
+    f_ref, g_ref = prob.value_and_grad(w0, pts)
+    f_dp, g_dp = dp_prob.value_and_grad(w0, mpts)
+    np.testing.assert_allclose(float(f_dp), float(f_ref), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(g_dp), np.asarray(g_ref),
+                               rtol=1e-10, atol=1e-13)
+
+    opts = LBFGSOptions(max_iters=25, tol=1e-12, m=10)
+    res_ref = lbfgs(prob, w0, aux=pts, opts=opts)
+    res_dp = lbfgs(dp_prob, w0, aux=mpts, opts=opts)
+    np.testing.assert_allclose(np.asarray(res_dp.x), np.asarray(res_ref.x),
+                               rtol=1e-8, atol=1e-10)
+    assert int(res_dp.n_fevals) == int(res_ref.n_fevals)
+
+
 def test_fd_oracle_sanity():
     """The FD Burgers reference solution: IC reproduced, BCs held, and the
     solution decays (viscosity) while steepening near x=0."""
