@@ -68,6 +68,43 @@ def test_lbfgs_outofcore_trajectory_parity():
     assert int(res.n_fevals) == int(ref.n_fevals)  # same trial sequence
 
 
+def test_outofcore_mlp_lean_trials_parity():
+    """VERDICT r4 item 6: the out-of-core MLP problem with the carried
+    (N, d1) line prefix — every trial device-resident — matches the in-HBM
+    lean run's f64 trajectory AND its exact trial accounting (same lean
+    policy both sides), for both line-search families."""
+    from lbfgs_ffnn_tpu.data.outofcore import outofcore_mlp_problem
+
+    for ls in ("armijo", "wolfe"):
+        opts = LBFGSOptions(max_iters=12, tol=1e-14, m=5, line_search=ls,
+                            prefix_vag=False)
+        ref = lbfgs(mlp_problem(SPEC), W0, aux=(X, Y), opts=opts)
+        res = lbfgs(outofcore_mlp_problem(SPEC, STORE), W0, aux=(), opts=opts)
+        assert int(res.n_iters) == int(ref.n_iters) == 12, ls
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(res.loss_history[:12]),
+            np.asarray(ref.loss_history[:12]), rtol=1e-10,
+        )
+        # identical trial sequence and lean accounting (trials + 1 accept
+        # value_and_grad per iteration)
+        assert int(res.n_fevals) == int(ref.n_fevals), ls
+        assert int(res.n_gevals) == int(ref.n_gevals), ls
+
+
+def test_outofcore_mlp_lean_trials_with_regularizer():
+    from lbfgs_ffnn_tpu.data.outofcore import outofcore_mlp_problem
+
+    opts = LBFGSOptions(max_iters=8, tol=1e-14, m=4, line_search="armijo",
+                        prefix_vag=False)
+    ref = lbfgs(mlp_problem(SPEC, lam=1e-3), W0, aux=(X, Y), opts=opts)
+    res = lbfgs(outofcore_mlp_problem(SPEC, STORE, lam=1e-3), W0, aux=(),
+                opts=opts)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x), rtol=1e-9)
+    assert int(res.n_fevals) == int(ref.n_fevals)
+
+
 def test_slbfgs_outofcore_trajectory_parity():
     """The flagship with the SVRG anchor accumulated over chunks and
     minibatches gathered host-side: identical index streams, trajectory
