@@ -528,7 +528,9 @@ def pallas_dispatch(n_pad: int, m: int, dtype,
             f"padded row length {n_pad} > blocked-kernel budget "
             f"{_BLOCKED_ROW_LIMIT} f32 elements (the VMEM-resident working "
             "vector no longer fits); the XLA loop form runs near the HBM "
-            "bound there",
+            "bound there (measured v5e n=4M m=50: 4.74 ms/call = 1.21x of "
+            "the 4mn row bound, within 1.03x of the raised-budget kernel — "
+            "scripts/diag_two_loop_large.py, docs/PERF.md round 5)",
         )
     if n_pad * (12 + 4 * pd.itemsize) > _VMEM_ROW_BYTES:
         return "pallas-blocked", ""
