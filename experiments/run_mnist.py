@@ -94,6 +94,17 @@ parser.add_argument("--only", type=str, default="",
                     help="run only configs whose name contains this "
                          "substring (regenerate single variant rows "
                          "without re-timing a whole artifact directory)")
+parser.add_argument("--seeds", type=int, default=1,
+                    help=">1: run every configured run at N init seeds "
+                         "(config.seed, config.seed+1, ...) and write a "
+                         "multiseed_summary.json with per-seed measured "
+                         "ms/iter + final loss and the median/min/max — "
+                         "the Armijo trial-count lottery moves single "
+                         "draws +-25%% (docs/PERF.md round 4), so "
+                         "committed table rows report the median (min-max) "
+                         "across seeds. The first seed writes the history "
+                         "CSV; all seeds share each config's compiled "
+                         "executable (the seed only changes w0 values)")
 parser.add_argument("--timed-chunks", type=int, default=0,
                     help=">0: run every solver in K-iteration chunks with "
                          "measured (not synthesized) cumulative TimeMs; "
@@ -213,6 +224,7 @@ if args.only:
         parser.error(f"--only {args.only!r} matches no configured run")
 
 meta_runs = []
+multiseed: dict[str, dict] = {}
 for solver, cfg in runs:
     if args.record_accuracy and solver in ("sgd", "slbfgs"):
         cfg.record_accuracy = True
@@ -226,12 +238,59 @@ for solver, cfg in runs:
         # chunks keep the pipelined driver's RTT overlap engaged and give
         # the TimeMs column per-5-epoch resolution.
         cfg.timed_chunks = 5 if solver == "sgd" else max(50, cfg.max_iters // 5)
-    print(f"Running {cfg.name} ({solver})...")
-    launcher.train(solver, cfg)
-    launcher.test()
+    seeds = [cfg.seed + k for k in range(max(args.seeds, 1))]
+    per_seed = {"seeds": seeds, "ms_per_iter": [], "final_loss": [],
+                "n_iters": [], "solver": solver}
+    for k, s in enumerate(seeds):
+        cfg.seed = s
+        cfg.write_csv = (k == 0)  # the first seed is the artifact draw
+        print(f"Running {cfg.name} ({solver}, seed={s})...")
+        report = launcher.train(solver, cfg)
+        launcher.test()
+        n = max(int(report.result.n_iters), 1)
+        if cfg.timed_chunks > 0:
+            ms = float(report.history.time_ms[n - 1]) / n
+        else:
+            ms = report.wall_time_s * 1e3 / n
+        per_seed["ms_per_iter"].append(round(ms, 4))
+        per_seed["final_loss"].append(float(report.result.final_loss))
+        per_seed["n_iters"].append(n)
+    if len(seeds) > 1:
+        ms_sorted = sorted(per_seed["ms_per_iter"])
+        per_seed["ms_per_iter_median"] = round(
+            ms_sorted[len(ms_sorted) // 2] if len(ms_sorted) % 2
+            else (ms_sorted[len(ms_sorted) // 2 - 1]
+                  + ms_sorted[len(ms_sorted) // 2]) / 2, 4)
+        per_seed["ms_per_iter_min"] = ms_sorted[0]
+        per_seed["ms_per_iter_max"] = ms_sorted[-1]
+        multiseed[cfg.name] = per_seed
     meta_runs.append({"name": cfg.name, "solver": solver,
                       "max_iters": cfg.max_iters,
-                      "timed_chunks": cfg.timed_chunks})
+                      "timed_chunks": cfg.timed_chunks,
+                      "seeds": seeds})
+
+
+def _write_multiseed():
+    """Per-config multi-seed spread next to the history CSVs: the committed
+    README tables quote median (min-max) ms/iter from here, not a single
+    lottery draw. Merges across partial (--only) regenerations."""
+    import json
+    path = "multiseed_summary.json"
+    merged = {}
+    if os.path.exists(path):
+        try:
+            with open(path) as f:
+                merged = json.load(f)
+        except Exception:
+            merged = {}
+    merged.update(multiseed)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2, sort_keys=True)
+        f.write("\n")
+
+
+if multiseed:
+    _write_multiseed()
 
 
 def _write_run_meta():

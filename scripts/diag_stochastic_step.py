@@ -37,7 +37,7 @@ import time
 import jax.numpy as jnp
 from jax import lax
 
-from lbfgs_ffnn_tpu.data.datasets import load_fashion_mnist
+from lbfgs_ffnn_tpu.data.datasets import load_fashion_mnist, load_mnist
 from lbfgs_ffnn_tpu.objectives.mlp import mlp_batch_problem, mlp_init, mlp_spec
 from lbfgs_ffnn_tpu.ops.sampling import sample_without_replacement
 from lbfgs_ffnn_tpu.ops.two_loop import empty_history_state, ring_push
@@ -46,6 +46,8 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--train-size", type=int, default=60000)
 parser.add_argument("--sl-size", type=int, default=5000,
                     help="S-LBFGS probe dataset size (headline config)")
+parser.add_argument("--dataset", choices=["mnist", "fashion"],
+                    default="fashion")
 parser.add_argument("--batch", type=int, default=256)
 parser.add_argument("--k1", type=int, default=500)
 parser.add_argument("--k2", type=int, default=1500)
@@ -61,7 +63,8 @@ prob = mlp_batch_problem(spec, lam=0.0)
 w0 = mlp_init(spec, jax.random.PRNGKey(123), dtype=jnp.float32)
 n = w0.shape[0]
 
-ds = load_fashion_mnist(train_size=args.train_size, test_size=16)
+loader = load_mnist if args.dataset == "mnist" else load_fashion_mnist
+ds = loader(train_size=args.train_size, test_size=10000)
 x, y = jnp.asarray(ds.train_x, jnp.float32), jnp.asarray(ds.train_y, jnp.float32)
 N, b = x.shape[0], args.batch
 m_steps = -(-N // b)  # sequential epoch length (ceil)
@@ -538,3 +541,55 @@ if "seq_take" in results and "seq_dynslice" in results:
     print(f"\nsequential gather -> dynamic_slice saving: "
           f"{results['seq_take'] - results['seq_dynslice']:.2f} us/step "
           f"x {m_steps} steps/epoch")
+
+
+# ---------------- whole-epoch slope: the production SGD solver -----------
+# The committed gpu-style SGD row divides a ~21-epoch run's wall time by 21,
+# so ~one tunnel RTT (~35 ms) is smeared over the column (~1.5-2 ms/ep of
+# pure measurement). This probe runs the REAL solver (sgd(), sequential +
+# momentum + decay + per-epoch full-batch record + accuracy metric) at two
+# epoch counts with tol=0 (so neither stops early) and reports the slope —
+# the marginal ms/epoch, directly comparable to the reference's RTT-free
+# per-epoch cudaEvent timing (src/cuda/sgd.cuh:79-86).
+def sgd_epoch_slope(record_acc: bool):
+    from lbfgs_ffnn_tpu.solvers.sgd import SGDOptions, sgd
+
+    if record_acc:
+        from lbfgs_ffnn_tpu.objectives.mlp import mlp_apply
+
+        def acc1(w, xa, ya):
+            pred = jnp.argmax(mlp_apply(spec, w, xa), axis=1)
+            return jnp.mean((pred == jnp.argmax(ya, axis=1)).astype(w.dtype)) * 100.0
+
+        def metric(w, xa, ya, tx, ty):
+            return jnp.stack([acc1(w, xa, ya), acc1(w, tx, ty)])
+        margs = (jnp.asarray(ds.test_x, jnp.float32),
+                 jnp.asarray(ds.test_y, jnp.float32))
+    else:
+        metric, margs = None, ()
+    e1, e2 = 20, 60
+    opt = {e: SGDOptions(epochs=e, batch_size=b, step_size=0.01, momentum=0.9,
+                         sampling="sequential", lr_decay=0.8, lr_decay_step=40,
+                         tol=0.0, metric_fn=metric)
+           for e in (e1, e2)}
+    for e in (e1, e2):
+        _ = float(sgd(prob, w0 * (1.0 + 1e-6), x, y, opt[e],
+                      metric_args=margs).final_loss)
+    best = {e1: float("inf"), e2: float("inf")}
+    for r in range(args.reps):
+        w = w0 * (1.0 + 1e-7 * (r + 1))
+        w.block_until_ready()
+        for e in (e1, e2):
+            t0 = time.perf_counter()
+            _ = float(sgd(prob, w, x, y, opt[e], metric_args=margs).final_loss)
+            best[e] = min(best[e], time.perf_counter() - t0)
+    per = (best[e2] - best[e1]) / (e2 - e1)
+    tag = "acc" if record_acc else "noacc"
+    print(f"sgd_epoch[{tag}]  {per * 1e3:9.3f} ms/epoch  "
+          f"(t{e1}={best[e1] * 1e3:.1f} ms, t{e2}={best[e2] * 1e3:.1f} ms)")
+    return per
+
+
+if not args.probe or args.probe in "sgd_epoch":
+    sgd_epoch_slope(record_acc=False)
+    sgd_epoch_slope(record_acc=True)
