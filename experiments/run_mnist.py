@@ -217,6 +217,15 @@ if args.u8_input or args.u8_all:
         name=f"{name}_GD_u8input", max_iters=args.iters, tolerance=1e-3,
         learning_rate=0.02, momentum=0.9, log_interval=1,
         fun_input_dtype="uint8")))
+    if args.style == "cuda":
+        # SGD's epoch is likewise input-read-bound: the 234 per-step batch
+        # slices plus the per-epoch full-dataset record all read x, so the
+        # u8 copy quarters the epoch's dominant HBM term (launcher passes
+        # the quantized input straight to the solver; objectives/mlp.py).
+        runs.append(("sgd", UnifiedConfig(
+            name=f"{name}_SGD_u8input", max_iters=args.iters, tolerance=1e-3,
+            learning_rate=0.01, batch_size=256, log_interval=5,
+            lr_decay=0.80, lr_decay_rate=40, fun_input_dtype="uint8")))
 
 if args.only:
     runs = [(s, c) for s, c in runs if args.only in c.name]

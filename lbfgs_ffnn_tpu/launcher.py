@@ -192,13 +192,32 @@ class Launcher:
             )
         return self._prob_cache[key]
 
-    def _get_batch_problem(self, lam: float, compute_dtype: Optional[str] = None):
-        key = ("batch", lam, compute_dtype)
+    def _get_batch_problem(self, lam: float, compute_dtype: Optional[str] = None,
+                           input_dtype: Optional[str] = None):
+        key = ("batch", lam, compute_dtype, input_dtype)
         if key not in self._prob_cache:
             self._prob_cache[key] = mlp_batch_problem(
-                self.spec, lam=lam, compute_dtype=compute_dtype
+                self.spec, lam=lam, compute_dtype=compute_dtype,
+                input_dtype=input_dtype,
             )
         return self._prob_cache[key]
+
+    def _stochastic_x(self, c: UnifiedConfig):
+        """Training input as the stochastic solvers should read it:
+        ``fun_input_dtype="uint8"`` hands them the pixel-quantized copy
+        (quarter the per-step batch read AND the per-epoch full-dataset
+        recording read; exact for k/255 pixel data — objectives/mlp.py).
+        Cached so the chunked drivers' repeat calls reuse one device copy."""
+        if c.fun_input_dtype is None:
+            return self._x
+        if jnp.dtype(c.fun_input_dtype) != jnp.dtype(jnp.uint8):
+            raise ValueError(
+                f"stochastic solvers support fun_input_dtype=None or 'uint8',"
+                f" got {c.fun_input_dtype!r}")
+        if "xq" not in self._prob_cache:
+            from lbfgs_ffnn_tpu.objectives.mlp import quantize_pixels
+            self._prob_cache["xq"] = quantize_pixels(self._x)
+        return self._prob_cache["xq"]
 
     def _bind_params(self, seed: int) -> None:
         bias = "random" if self.backend_style == "cpu" else "zeros"
@@ -217,6 +236,7 @@ class Launcher:
         # the cached fn must still not survive a swap that changes that.
         if hasattr(self, "_prob_cache"):
             self._prob_cache.pop("acc", None)
+            self._prob_cache.pop("xq", None)
         return self
 
     # -- training -----------------------------------------------------------
@@ -259,8 +279,11 @@ class Launcher:
                 )
             elif solver == "sgd":
                 result, time_ms = sgd_chunked(
-                    self._get_batch_problem(0.0, config.compute_dtype), self.weights,
-                    self._x, self._y, self._sgd_opts(config), chunk=K,
+                    self._get_batch_problem(0.0, config.compute_dtype,
+                                            config.fun_input_dtype),
+                    self.weights,
+                    self._stochastic_x(config), self._y,
+                    self._sgd_opts(config), chunk=K,
                     metric_args=self._metric_args(config),
                 )
             elif solver == "gd":
@@ -444,10 +467,12 @@ class Launcher:
             return lambda: lbfgs(prob, w0, aux=(x, y), opts=opts)
 
         if solver == "sgd":
-            bp = self._get_batch_problem(0.0, c.compute_dtype)
+            bp = self._get_batch_problem(0.0, c.compute_dtype,
+                                         c.fun_input_dtype)
             opts = self._sgd_opts(c)
             margs = self._metric_args(c)
-            return lambda: sgd(bp, w0, x, y, opts, metric_args=margs)
+            xs = self._stochastic_x(c)
+            return lambda: sgd(bp, w0, xs, y, opts, metric_args=margs)
 
         if solver == "slbfgs":
             lam = c.lam if c.lam > 0 else 1e-4

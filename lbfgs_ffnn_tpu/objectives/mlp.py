@@ -130,18 +130,28 @@ def mlp_apply(
     roughly 2x matmul throughput on TPU at a small precision cost; not
     available in the reference's f32 cuBLAS path.
     """
+    # uint8 pixel-quantized input (round(x*255)): upcast inside the first
+    # dot's operand read and rescale on the OUTPUT epilogue, exactly as the
+    # full problem's _first_affine — the (B, in) HBM read is a quarter of
+    # f32 and the integer operands are exact (docs/PERF.md round 3).
+    quant = jnp.issubdtype(x.dtype, jnp.integer)
     h = x
-    acc = x.dtype
+    acc = w.dtype if quant else x.dtype
     for li, (w_off, b_off, d_in, d_out) in enumerate(spec.layer_slices()):
         W = w[w_off : w_off + d_in * d_out].reshape(d_in, d_out)
         b = w[b_off : b_off + d_out]
+        rescale = quant and li == 0
         if compute_dtype is not None:
-            z = jnp.dot(
-                h.astype(compute_dtype), W.astype(compute_dtype),
-                preferred_element_type=acc,
-            ) + b
+            hd = h.astype(compute_dtype) if not rescale else \
+                h.astype(acc).astype(compute_dtype)
+            z = jnp.dot(hd, W.astype(compute_dtype),
+                        preferred_element_type=acc)
         else:
-            z = jnp.dot(h, W, preferred_element_type=acc) + b
+            hd = h.astype(acc) if rescale else h
+            z = jnp.dot(hd, W, preferred_element_type=acc)
+        if rescale:
+            z = z * jnp.asarray(1.0 / 255.0, acc)
+        z = z + b
         h = _ACTIVATIONS[spec.activations[li]](z)
     return h
 
@@ -451,10 +461,31 @@ def mlp_problem(
                         prepare=prepare)
 
 
+def quantize_pixels(x: jax.Array) -> jax.Array:
+    """Pixel-quantize an in-[0,1] input matrix to the uint8 grid
+    (``round(x*255)``) — the storage convention every ``*_input_dtype=
+    "uint8"`` consumer expects (the 1/255 rescale rides the dot epilogues).
+    Exact for k/255 pixel data; off-grid values clip and round."""
+    return jnp.clip(jnp.round(x * 255.0), 0.0, 255.0).astype(jnp.uint8)
+
+
 def mlp_batch_problem(
-    spec: MLPSpec, lam: float = 0.0, compute_dtype=None
+    spec: MLPSpec, lam: float = 0.0, compute_dtype=None, input_dtype=None
 ) -> BatchProblem:
-    """Per-batch problem for stochastic solvers; callables take (w, xb, yb)."""
+    """Per-batch problem for stochastic solvers; callables take (w, xb, yb).
+
+    ``input_dtype="uint8"`` declares that callers hand the problem
+    pixel-quantized batches (``quantize_pixels``); ``mlp_apply`` upcasts
+    inside the first dot and rescales on its output epilogue, so every
+    per-step (b, in_dim) batch read — the dominant HBM term of a fixed-step
+    stochastic epoch — is a quarter of f32, and the per-epoch full-dataset
+    recording read shrinks the same way. Exact for k/255 pixel data; the
+    TPU-side analogue of nothing in the reference (its SGD reads f32,
+    src/cuda/sgd.cuh:100-124)."""
+    if input_dtype is not None and jnp.dtype(input_dtype) != jnp.dtype(jnp.uint8):
+        raise ValueError(
+            f"mlp_batch_problem input_dtype must be None or uint8 (the "
+            f"pixel quantization convention), got {input_dtype!r}")
 
     def per_sample(w, xb, yb):
         out = mlp_apply(spec, w, xb, compute_dtype)

@@ -11,8 +11,9 @@ Behavioral union of the reference's two SGD implementations:
 
 An epoch is a ``lax.scan`` over minibatch steps; batch sampling uses
 ``jax.random.fold_in`` per (epoch, step) so runs are seed-stable and
-layout-independent. The trailing ragged batch in sequential mode is handled
-with a fixed-shape masked gather.
+layout-independent. In sequential mode the trailing ragged batch runs as
+one straight-line step at its true static shape after the scan over the
+full batches (segmented epoch — no per-step masking, docs/PERF.md round 5).
 """
 
 from __future__ import annotations
@@ -97,22 +98,19 @@ def _make_parts(problem: BatchProblem, opts: SGDOptions, N: int):
 
     def make_body(x, y, margs=()):
         key = jax.random.PRNGKey(opts.seed)
-
-        if opts.sampling == "sequential":
-            # Zero-pad once per jitted call so every step is a contiguous
-            # lax.dynamic_slice instead of a row gather: the slice fuses
-            # into the batch GEMM's input read while jnp.take materializes
-            # a (b, d) copy per step (measured v5e, b=256 N=60k: 18.3 ->
-            # 11.7 us/step — scripts/diag_stochastic_step.py). Bitwise
-            # trajectory-identical: fun_masked zeroes masked rows before
-            # per_sample either way (the old path's clipped duplicate rows
-            # were zeroed too), and rows are independent in per_sample.
-            pad = m * b - N
-            if pad:
-                x_seq = jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1))
-                y_seq = jnp.pad(y, ((0, pad),) + ((0, 0),) * (y.ndim - 1))
-            else:
-                x_seq, y_seq = x, y
+        # Sequential mode: the epoch is m_full full contiguous batches plus
+        # (at most) one ragged tail. Splitting the tail OUT of the scan —
+        # the segmented-epoch medicine proven on S-LBFGS (docs/PERF.md
+        # round 4) — lets every scanned step slice x directly and evaluate
+        # UNMASKED (no per-step (b, d) zero_masked_rows copy, no mask
+        # generation), and the tail runs once in straight-line code at its
+        # TRUE static shape, so neither a mask nor a padded x/y copy exists
+        # anywhere. Same math as the old all-masked scan: a full batch's
+        # masked loss was sum(ls)/sum(mask) over the same b rows that
+        # `fun` averages, and the tail's was the mean over its rem rows
+        # (f64 mirror parity pinned in tests/test_solver_parity_mlp.py).
+        m_full = N // b if opts.sampling == "sequential" else 0
+        rem = N - m_full * b if opts.sampling == "sequential" else 0
 
         def update(w, v, lr, g):
             if opts.momentum > 0.0:
@@ -140,14 +138,15 @@ def _make_parts(problem: BatchProblem, opts: SGDOptions, N: int):
                 return (w, v), loss * b
 
             def minibatch_sequential(carry, t):
+                # Full batches only (the ragged tail runs straight-line
+                # below): a contiguous dynamic_slice that fuses into the
+                # batch GEMM's input read, evaluated UNMASKED.
                 w, v = carry
-                start = t * b
-                mask = (start + jnp.arange(b) < N).astype(w.dtype)
-                xb = lax.dynamic_slice_in_dim(x_seq, start, b, axis=0)
-                yb = lax.dynamic_slice_in_dim(y_seq, start, b, axis=0)
-                loss, g = jax.value_and_grad(problem.fun_masked)(w, xb, yb, mask)
+                xb = lax.dynamic_slice_in_dim(x, t * b, b, axis=0)
+                yb = lax.dynamic_slice_in_dim(y, t * b, b, axis=0)
+                loss, g = problem.value_and_grad(w, xb, yb)
                 w, v = update(w, v, lr, g)
-                return (w, v), loss * jnp.sum(mask)
+                return (w, v), loss * b
 
             ts = jnp.arange(m)
             if opts.sampling == "random":
@@ -174,8 +173,18 @@ def _make_parts(problem: BatchProblem, opts: SGDOptions, N: int):
                 # src/minimizer/s_gd.hpp:95-106).
                 epoch_loss = jnp.sum(losses) / (m * b)
             else:
-                (w, v), losses = lax.scan(minibatch_sequential, (s.w, s.v), ts)
-                epoch_loss = jnp.sum(losses) / N  # batch-weighted mean (CUDA-ref)
+                (w, v), losses = lax.scan(
+                    minibatch_sequential, (s.w, s.v), jnp.arange(m_full)
+                )
+                wsum = jnp.sum(losses)
+                if rem:
+                    # The ragged tail, once, at its TRUE static shape —
+                    # no mask, no padded copy (rem is compile-time).
+                    loss, g = problem.value_and_grad(w, x[m_full * b:],
+                                                     y[m_full * b:])
+                    w, v = update(w, v, lr, g)
+                    wsum = wsum + loss * rem
+                epoch_loss = wsum / N  # batch-weighted mean (CUDA-ref)
 
             # Recorder: full-dataset loss + gradient norm per epoch
             # (reference: src/minimizer/s_gd.hpp:108-131, src/cuda/sgd.cuh:134-145).

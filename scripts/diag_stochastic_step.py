@@ -551,8 +551,11 @@ if "seq_take" in results and "seq_dynslice" in results:
 # epoch counts with tol=0 (so neither stops early) and reports the slope —
 # the marginal ms/epoch, directly comparable to the reference's RTT-free
 # per-epoch cudaEvent timing (src/cuda/sgd.cuh:79-86).
-def sgd_epoch_slope(record_acc: bool):
+def sgd_epoch_slope(record_acc: bool, u8: bool = False):
     from lbfgs_ffnn_tpu.solvers.sgd import SGDOptions, sgd
+    from lbfgs_ffnn_tpu.objectives.mlp import quantize_pixels
+
+    x_in = quantize_pixels(x) if u8 else x
 
     if record_acc:
         from lbfgs_ffnn_tpu.objectives.mlp import mlp_apply
@@ -573,7 +576,7 @@ def sgd_epoch_slope(record_acc: bool):
                          tol=0.0, metric_fn=metric)
            for e in (e1, e2)}
     for e in (e1, e2):
-        _ = float(sgd(prob, w0 * (1.0 + 1e-6), x, y, opt[e],
+        _ = float(sgd(prob, w0 * (1.0 + 1e-6), x_in, y, opt[e],
                       metric_args=margs).final_loss)
     best = {e1: float("inf"), e2: float("inf")}
     for r in range(args.reps):
@@ -581,10 +584,11 @@ def sgd_epoch_slope(record_acc: bool):
         w.block_until_ready()
         for e in (e1, e2):
             t0 = time.perf_counter()
-            _ = float(sgd(prob, w, x, y, opt[e], metric_args=margs).final_loss)
+            _ = float(sgd(prob, w, x_in, y, opt[e],
+                          metric_args=margs).final_loss)
             best[e] = min(best[e], time.perf_counter() - t0)
     per = (best[e2] - best[e1]) / (e2 - e1)
-    tag = "acc" if record_acc else "noacc"
+    tag = ("acc" if record_acc else "noacc") + ("+u8" if u8 else "")
     print(f"sgd_epoch[{tag}]  {per * 1e3:9.3f} ms/epoch  "
           f"(t{e1}={best[e1] * 1e3:.1f} ms, t{e2}={best[e2] * 1e3:.1f} ms)")
     return per
@@ -593,3 +597,4 @@ def sgd_epoch_slope(record_acc: bool):
 if not args.probe or args.probe in "sgd_epoch":
     sgd_epoch_slope(record_acc=False)
     sgd_epoch_slope(record_acc=True)
+    sgd_epoch_slope(record_acc=True, u8=True)

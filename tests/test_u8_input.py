@@ -174,3 +174,76 @@ def test_u8_launcher_end_to_end():
         name="U8", max_iters=15, m_param=5, log_interval=1,
         line_input_dtype="uint8", grad_input_dtype="uint8"), verbose=False)
     assert float(rep.result.final_loss) < 1.0
+
+
+# ---------------- batch problem (stochastic solvers) ----------------------
+
+
+def test_u8_batch_problem_value_and_grad_parity():
+    """The batch problem fed a pixel-quantized batch agrees with the raw
+    f32 batch to f32 rounding: the quant-aware mlp_apply upcasts inside the
+    first dot and rescales its output epilogue."""
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_batch_problem, quantize_pixels
+
+    spec, w, p, x, y, pix = _pixel_setup()
+    bp = mlp_batch_problem(spec, lam=1e-4)
+    xq = quantize_pixels(x)
+    np.testing.assert_array_equal(np.asarray(xq), np.asarray(pix, np.uint8))
+    f_f, g_f = bp.value_and_grad(w, x, y)
+    f_q, g_q = bp.value_and_grad(w, xq, y)
+    np.testing.assert_allclose(float(f_q), float(f_f), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_q), np.asarray(g_f),
+                               rtol=2e-4, atol=1e-7)
+
+
+def test_u8_batch_problem_masked_ragged_tail():
+    """fun_masked/grad_masked through u8 batches: zeroed masked rows stay
+    exact (integer zeros) and match the f32 masked path."""
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_batch_problem, quantize_pixels
+
+    spec, w, p, x, y, _ = _pixel_setup(n=8)
+    bp = mlp_batch_problem(spec)
+    mask = jnp.array([1, 1, 1, 1, 1, 0, 0, 0], jnp.float32)
+    xq = quantize_pixels(x)
+    f_f = bp.fun_masked(w, x, y, mask)
+    f_q = bp.fun_masked(w, xq, y, mask)
+    np.testing.assert_allclose(float(f_q), float(f_f), rtol=1e-6)
+    g_f = bp.grad_masked(w, x, y, mask)
+    g_q = bp.grad_masked(w, xq, y, mask)
+    np.testing.assert_allclose(np.asarray(g_q), np.asarray(g_f),
+                               rtol=2e-4, atol=1e-7)
+
+
+def test_u8_batch_problem_rejects_non_uint8():
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_batch_problem
+
+    spec = mlp_spec([4, 3, 2], ["relu", "linear"])
+    with pytest.raises(ValueError, match="uint8"):
+        mlp_batch_problem(spec, input_dtype="bfloat16")
+
+
+def test_u8_sgd_launcher_end_to_end():
+    """SGD with fun_input_dtype='uint8': the launcher hands the solver the
+    quantized input (per-step batch reads AND the per-epoch full record at
+    quarter width); the run must track the f32 run's loss closely on
+    on-grid data and record per-epoch accuracy."""
+    from lbfgs_ffnn_tpu.data.datasets import load_mnist
+    from lbfgs_ffnn_tpu.launcher import Launcher, UnifiedConfig
+
+    ds = load_mnist(train_size=512, test_size=64)
+    l = (Launcher("cuda").add_layer(784, 16, "relu")
+         .add_layer(16, 10, "linear").build_network().set_data(ds))
+    cfg = dict(max_iters=8, tolerance=0.0, learning_rate=0.01,
+               batch_size=128, log_interval=1, lr_decay=0.8,
+               lr_decay_rate=4, record_accuracy=True, write_csv=False)
+    rep_f = l.train("sgd", UnifiedConfig(name="S_f32", **cfg), verbose=False)
+    rep_q = l.train("sgd", UnifiedConfig(name="S_u8", fun_input_dtype="uint8",
+                                         **cfg), verbose=False)
+    assert rep_q.result.metric_history is not None
+    np.testing.assert_allclose(float(rep_q.result.final_loss),
+                               float(rep_f.result.final_loss), rtol=1e-3)
+    # invalid narrow dtype for the stochastic path is rejected up front
+    with pytest.raises(ValueError, match="uint8"):
+        l.train("sgd", UnifiedConfig(name="S_bad",
+                                     fun_input_dtype="bfloat16", **cfg),
+                verbose=False)
