@@ -240,13 +240,19 @@ for solver, cfg in runs:
     if args.timed_chunks > 0:
         cfg.timed_chunks = args.timed_chunks
     elif args.timed_chunks == -1:
-        # SGD epochs are ms-scale and the cuda-style run stops on relative
-        # improvement after ~20 epochs — a max_iters/5 chunk would put the
-        # whole run in ONE chunk, leaving its dispatch+sync tunnel RTT
-        # (~30-40 ms, several ms/epoch!) on the measured clock. Small
-        # chunks keep the pipelined driver's RTT overlap engaged and give
-        # the TimeMs column per-5-epoch resolution.
-        cfg.timed_chunks = 5 if solver == "sgd" else max(50, cfg.max_iters // 5)
+        # SGD epochs are ms-scale (2.9 ms measured marginal on the 60k
+        # gpu-style config) and the cuda-style run stops on relative
+        # improvement after ~20 epochs, i.e. ~65 ms of device work total.
+        # EVERY chunk-boundary sync costs one tunnel round trip (~35 ms)
+        # of wall time no matter how the pipelined driver overlaps device
+        # compute — the pulls serialize — so round 4's 5-epoch chunks put
+        # ~5 RTTs (~2x the device work!) on the measured column. One
+        # whole-run chunk pays exactly one: the bounded while_loop stops
+        # device-side at the tol epoch and the single sync stamps the
+        # cumulative time (the per-epoch MARGINAL cost is measured
+        # separately by scripts/diag_stochastic_step.py's sgd_epoch slope
+        # and quoted next to the column in results/README.md).
+        cfg.timed_chunks = cfg.max_iters if solver == "sgd" else max(50, cfg.max_iters // 5)
     seeds = [cfg.seed + k for k in range(max(args.seeds, 1))]
     per_seed = {"seeds": seeds, "ms_per_iter": [], "final_loss": [],
                 "n_iters": [], "solver": solver}

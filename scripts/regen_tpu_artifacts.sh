@@ -5,10 +5,15 @@
 # documented fraction of the measured time). Run from the repo root on TPU.
 set -e
 R=/root/repo
+# SEEDS=N regenerates every row at N init seeds and refreshes each
+# directory's multiseed_summary.json (median/min-max ms/iter across the
+# Armijo trial-count lottery); the first seed writes the CSVs.
+SEEDS="${SEEDS:-1}"
 run() {  # run <results_subdir> <run_mnist args...>
   d="$R/results/$1"; shift
   mkdir -p "$d"; cd "$d"
-  python "$R/experiments/run_mnist.py" --timed-chunks -1 --record-accuracy "$@"
+  python "$R/experiments/run_mnist.py" --timed-chunks -1 --record-accuracy \
+      --seeds "$SEEDS" "$@"
   python "$R/scripts/plot_results.py" . || true
 }
 run tpu_mnist_784_128_10        --style cuda --dataset mnist   --iters 1000 --batched-ls --bf16-ring --bf16-grad-input --bf16-prefix --bf16-all --u8-all --warm-alpha
