@@ -49,10 +49,13 @@ parser.add_argument("--k", type=int, nargs=2, default=[3, 9],
 parser.add_argument("--reps", type=int, default=3)
 parser.add_argument("--impl", nargs="+",
                     default=["xla", "pallas"],
-                    choices=["xla", "pallas", "pallas-huge"],
+                    choices=["xla", "pallas"],
                     help="'pallas' uses the production dispatch (falls back "
                          "to xla above the blocked budget — the row then "
-                         "double-checks the fallback, not a kernel)")
+                         "double-checks the fallback, not a kernel). The "
+                         "q-in-HBM 'huge' kernel was measured NOT worth "
+                         "building: XLA at n=4M already beats its 8mn "
+                         "traffic floor (docs/PERF.md round 5)")
 args = parser.parse_args()
 
 from lbfgs_ffnn_tpu.ops.two_loop import (  # noqa: E402
@@ -135,6 +138,3 @@ for impl in args.impl:
         print(f"# production dispatch at this size: {sel}"
               + (f" ({why})" if why else ""), flush=True)
         slope(sel, lambda K: make_probe(two_loop_pallas, K))
-    elif impl == "pallas-huge":
-        from lbfgs_ffnn_tpu.ops.pallas_two_loop import two_loop_pallas_huge
-        slope("pallas-huge", lambda K: make_probe(two_loop_pallas_huge, K))
