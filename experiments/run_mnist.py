@@ -270,14 +270,19 @@ for solver, cfg in runs:
         per_seed["ms_per_iter"].append(round(ms, 4))
         per_seed["final_loss"].append(float(report.result.final_loss))
         per_seed["n_iters"].append(n)
-    if len(seeds) > 1:
-        ms_sorted = sorted(per_seed["ms_per_iter"])
-        per_seed["ms_per_iter_median"] = round(
-            ms_sorted[len(ms_sorted) // 2] if len(ms_sorted) % 2
-            else (ms_sorted[len(ms_sorted) // 2 - 1]
-                  + ms_sorted[len(ms_sorted) // 2]) / 2, 4)
-        per_seed["ms_per_iter_min"] = ms_sorted[0]
-        per_seed["ms_per_iter_max"] = ms_sorted[-1]
+    ms_sorted = sorted(per_seed["ms_per_iter"])
+    per_seed["ms_per_iter_median"] = round(
+        ms_sorted[len(ms_sorted) // 2] if len(ms_sorted) % 2
+        else (ms_sorted[len(ms_sorted) // 2 - 1]
+              + ms_sorted[len(ms_sorted) // 2]) / 2, 4)
+    per_seed["ms_per_iter_min"] = ms_sorted[0]
+    per_seed["ms_per_iter_max"] = ms_sorted[-1]
+    # Record even single-seed runs when a summary exists: a --seeds 1
+    # partial regen must OVERWRITE the stale multiseed row for the configs
+    # it re-ran (leaving it would desynchronize the committed median
+    # tables from the committed CSVs), degrading that row to a 1-draw
+    # entry that honestly says seeds=[...].
+    if len(seeds) > 1 or os.path.exists("multiseed_summary.json"):
         multiseed[cfg.name] = per_seed
     meta_runs.append({"name": cfg.name, "solver": solver,
                       "max_iters": cfg.max_iters,

@@ -63,10 +63,18 @@ def restore_checkpoint(path: str | Path, template: Any, *, allow_partial: bool =
         # from elsewhere (e.g. OSError) propagate untouched.
         if not _is_structure_mismatch(e):
             raise
-        restored = ckptr.restore(path)
-        filled: list[str] = []
-        out = _fill_from_template(template, restored, "", filled)
-        if not filled and not _has_extras(template, restored):
+        try:
+            restored = ckptr.restore(path)
+            filled: list[str] = []
+            out = _fill_from_template(template, restored, "", filled)
+            extras = _has_extras(template, restored)
+        except Exception as shim_err:
+            # The migration shim itself failed (I/O, or a saved tree too
+            # alien for the overlay walk). The ORIGINAL restore error is the
+            # diagnosable one — propagate it, with the shim failure attached
+            # as the cause instead of replacing it.
+            raise e from shim_err
+        if not filled and not extras:
             # The template-free read's structure agrees with the template
             # exactly (no missing fields, no extra keys), so the original
             # failure was NOT a structure mismatch — e.g. a genuine
@@ -123,7 +131,12 @@ def _has_extras(template: Any, restored: Any) -> bool:
         )
     if isinstance(template, (list, tuple)):
         if isinstance(restored, dict):
-            seq = [restored[k] for k in sorted(restored, key=lambda s: int(s) if s.isdigit() else 0)]
+            # Orbax writes sequences as dicts keyed "0", "1", ...; any
+            # other key shape means the saved node is NOT a sequence — a
+            # genuine structure disagreement, i.e. extras.
+            if not all(isinstance(k, str) and k.isdigit() for k in restored):
+                return True
+            seq = [restored[k] for k in sorted(restored, key=int)]
         elif isinstance(restored, (list, tuple)):
             seq = list(restored)
         else:
@@ -197,12 +210,18 @@ def _fill_from_template(template: Any, restored: Any, path: str, filled: list[st
         return out
     if isinstance(template, (list, tuple)):
         if isinstance(restored, (list, tuple, dict)):
-            seq = (
-                [restored[str(i)] for i in range(len(template))]
-                if isinstance(restored, dict)
-                else list(restored)
-            )
-            if len(seq) == len(template):
+            if isinstance(restored, dict):
+                # Sequence-as-dict needs exactly the keys "0".."len-1";
+                # anything else is not this sequence — fall through to the
+                # template (recorded in ``filled`` so unsafe fills raise).
+                seq = (
+                    [restored[str(i)] for i in range(len(template))]
+                    if all(str(i) in restored for i in range(len(template)))
+                    else None
+                )
+            else:
+                seq = list(restored)
+            if seq is not None and len(seq) == len(template):
                 return type(template)(
                     _fill_from_template(t, r, f"{path}/{i}", filled)
                     for i, (t, r) in enumerate(zip(template, seq))

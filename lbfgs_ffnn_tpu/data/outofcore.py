@@ -246,6 +246,15 @@ def outofcore_mlp_problem(spec, store: ChunkStore, lam: float = 0.0) -> Problem:
     n_pad = store.num_chunks * rows
     d_last = spec.dims[-1]
 
+    # NOTE: _first_affine_chunk and restrict.value deliberately mirror
+    # objectives/mlp.py's _first_affine/_loss_from_z1 rather than import
+    # them: the out-of-core restriction masks PADDED STORE ROWS and
+    # normalizes by the true N (mlp.py's forms are unmasked batch means),
+    # and it has no narrow-input (bf16/u8) variants — chunks arrive f32
+    # from the host store. Threading a mask through the in-HBM hot path to
+    # share ~10 lines would be the wrong trade; if mlp.py's loss
+    # convention ever changes, tests/test_outofcore.py's f64 parity gate
+    # vs the in-HBM problem catches the divergence.
     def _first_affine_chunk(v, xb):
         W = v[w_off : w_off + d_in * d_out0].reshape(d_in, d_out0)
         b = v[b_off : b_off + d_out0]

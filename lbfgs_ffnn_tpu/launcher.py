@@ -192,13 +192,14 @@ class Launcher:
             )
         return self._prob_cache[key]
 
-    def _get_batch_problem(self, lam: float, compute_dtype: Optional[str] = None,
-                           input_dtype: Optional[str] = None):
-        key = ("batch", lam, compute_dtype, input_dtype)
+    def _get_batch_problem(self, lam: float, compute_dtype: Optional[str] = None):
+        # One problem per (lam, compute policy): the u8 input path needs no
+        # problem-side switch (mlp_apply adapts to the batch dtype, and the
+        # u8 operands give a distinct jit cache entry by aval anyway).
+        key = ("batch", lam, compute_dtype)
         if key not in self._prob_cache:
             self._prob_cache[key] = mlp_batch_problem(
-                self.spec, lam=lam, compute_dtype=compute_dtype,
-                input_dtype=input_dtype,
+                self.spec, lam=lam, compute_dtype=compute_dtype
             )
         return self._prob_cache[key]
 
@@ -279,8 +280,7 @@ class Launcher:
                 )
             elif solver == "sgd":
                 result, time_ms = sgd_chunked(
-                    self._get_batch_problem(0.0, config.compute_dtype,
-                                            config.fun_input_dtype),
+                    self._get_batch_problem(0.0, config.compute_dtype),
                     self.weights,
                     self._stochastic_x(config), self._y,
                     self._sgd_opts(config), chunk=K,
@@ -429,6 +429,13 @@ class Launcher:
     def _slbfgs_opts(self, c: UnifiedConfig, N: int) -> SLBFGSOptions:
         # Reference strategy defaults: lambda=1e-4 L2, b_H = batch/2,
         # m_inner = N/batch (unified_optimization.hpp:314-405).
+        if c.fun_input_dtype is not None:
+            # Not wired for S-LBFGS (the HVP path through quantized batches
+            # is untested) — reject rather than silently run full-f32 while
+            # the config claims a narrow read.
+            raise ValueError(
+                "fun_input_dtype is not supported for slbfgs (only sgd/gd/"
+                f"lbfgs); got {c.fun_input_dtype!r}")
         return SLBFGSOptions(
             metric_fn=self._accuracy_metric()[0] if c.record_accuracy else None,
             epochs=c.max_iters, tol=c.tolerance,
@@ -467,8 +474,7 @@ class Launcher:
             return lambda: lbfgs(prob, w0, aux=(x, y), opts=opts)
 
         if solver == "sgd":
-            bp = self._get_batch_problem(0.0, c.compute_dtype,
-                                         c.fun_input_dtype)
+            bp = self._get_batch_problem(0.0, c.compute_dtype)
             opts = self._sgd_opts(c)
             margs = self._metric_args(c)
             xs = self._stochastic_x(c)

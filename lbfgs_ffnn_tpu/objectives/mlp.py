@@ -130,11 +130,19 @@ def mlp_apply(
     roughly 2x matmul throughput on TPU at a small precision cost; not
     available in the reference's f32 cuBLAS path.
     """
-    # uint8 pixel-quantized input (round(x*255)): upcast inside the first
-    # dot's operand read and rescale on the OUTPUT epilogue, exactly as the
-    # full problem's _first_affine — the (B, in) HBM read is a quarter of
-    # f32 and the integer operands are exact (docs/PERF.md round 3).
+    # uint8 pixel-quantized input (round(x*255), see quantize_pixels):
+    # upcast inside the first dot's operand read and rescale on the OUTPUT
+    # epilogue, exactly as the full problem's _first_affine — the (B, in)
+    # HBM read is a quarter of f32 and the integer operands are exact
+    # (docs/PERF.md round 3). Only uint8 carries this convention; any
+    # other integer input is almost certainly a caller error (raw counts,
+    # labels in the wrong slot) and silently dividing it by 255 would
+    # corrupt results, so reject loudly.
     quant = jnp.issubdtype(x.dtype, jnp.integer)
+    if quant and x.dtype != jnp.dtype(jnp.uint8):
+        raise ValueError(
+            f"integer inputs to mlp_apply must be uint8 pixel-quantized "
+            f"(quantize_pixels convention), got {x.dtype}")
     h = x
     acc = w.dtype if quant else x.dtype
     for li, (w_off, b_off, d_in, d_out) in enumerate(spec.layer_slices()):
@@ -470,22 +478,18 @@ def quantize_pixels(x: jax.Array) -> jax.Array:
 
 
 def mlp_batch_problem(
-    spec: MLPSpec, lam: float = 0.0, compute_dtype=None, input_dtype=None
+    spec: MLPSpec, lam: float = 0.0, compute_dtype=None
 ) -> BatchProblem:
     """Per-batch problem for stochastic solvers; callables take (w, xb, yb).
 
-    ``input_dtype="uint8"`` declares that callers hand the problem
-    pixel-quantized batches (``quantize_pixels``); ``mlp_apply`` upcasts
-    inside the first dot and rescales on its output epilogue, so every
-    per-step (b, in_dim) batch read — the dominant HBM term of a fixed-step
-    stochastic epoch — is a quarter of f32, and the per-epoch full-dataset
-    recording read shrinks the same way. Exact for k/255 pixel data; the
-    TPU-side analogue of nothing in the reference (its SGD reads f32,
-    src/cuda/sgd.cuh:100-124)."""
-    if input_dtype is not None and jnp.dtype(input_dtype) != jnp.dtype(jnp.uint8):
-        raise ValueError(
-            f"mlp_batch_problem input_dtype must be None or uint8 (the "
-            f"pixel quantization convention), got {input_dtype!r}")
+    Callers may hand the problem uint8 pixel-quantized batches
+    (``quantize_pixels``); ``mlp_apply`` upcasts inside the first dot and
+    rescales on its output epilogue, so every per-step (b, in_dim) batch
+    read — the dominant HBM term of a fixed-step stochastic epoch — is a
+    quarter of f32, and the per-epoch full-dataset recording read shrinks
+    the same way. Exact for k/255 pixel data; the TPU-side analogue of
+    nothing in the reference (its SGD reads f32, src/cuda/sgd.cuh:100-124).
+    Non-uint8 integer batches are rejected by ``mlp_apply``."""
 
     def per_sample(w, xb, yb):
         out = mlp_apply(spec, w, xb, compute_dtype)

@@ -280,14 +280,19 @@ def burgers_problem(
         col_xt = zero_masked_rows(col_m, col_xt)
         u_ic = _u(spec, w, ic_xt)
         s_ic = jnp.sum(jnp.where(ic_m > 0, (u_ic - ic_t) ** 2, 0.0))
-        loss_ic = jax.lax.psum(s_ic, axis) / jax.lax.psum(jnp.sum(ic_m), axis)
         u_bc = _u(spec, w, bc_xt)
         s_bc = jnp.sum(jnp.where(bc_m > 0, u_bc**2, 0.0))
-        loss_bc = jax.lax.psum(s_bc, axis) / jax.lax.psum(jnp.sum(bc_m), axis)
         r = burgers_residual(spec, w, col_xt, nu)
         s_pde = jnp.sum(jnp.where(col_m > 0, r**2, 0.0))
-        loss_pde = jax.lax.psum(s_pde, axis) / jax.lax.psum(jnp.sum(col_m), axis)
-        return w_ic * loss_ic + w_bc * loss_bc + w_pde * loss_pde
+        # ONE psum of the stacked partial sums + mask counts instead of six
+        # scalar collectives — this sits on the line-search hot path (every
+        # trial evaluates the loss). Elementwise psum of the stack is the
+        # same additions in the same order, so values are bit-identical.
+        sums = jax.lax.psum(
+            jnp.stack([s_ic, jnp.sum(ic_m), s_bc, jnp.sum(bc_m),
+                       s_pde, jnp.sum(col_m)]), axis)
+        return (w_ic * sums[0] / sums[1] + w_bc * sums[2] / sums[3]
+                + w_pde * sums[4] / sums[5])
 
     def fun(w, aux):
         mp: MaskedBurgersPoints = aux

@@ -214,12 +214,17 @@ def test_u8_batch_problem_masked_ragged_tail():
                                rtol=2e-4, atol=1e-7)
 
 
-def test_u8_batch_problem_rejects_non_uint8():
-    from lbfgs_ffnn_tpu.objectives.mlp import mlp_batch_problem
+def test_mlp_apply_rejects_non_uint8_integers():
+    """Only uint8 carries the round(x*255) convention; other integer inputs
+    (raw counts, labels in the wrong slot) must fail loudly instead of
+    being silently divided by 255."""
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_apply
 
     spec = mlp_spec([4, 3, 2], ["relu", "linear"])
+    w = mlp_init(spec, jax.random.PRNGKey(0), dtype=jnp.float32)
+    x_i32 = jnp.ones((2, 4), jnp.int32)
     with pytest.raises(ValueError, match="uint8"):
-        mlp_batch_problem(spec, input_dtype="bfloat16")
+        mlp_apply(spec, w, x_i32)
 
 
 def test_u8_sgd_launcher_end_to_end():
@@ -246,4 +251,10 @@ def test_u8_sgd_launcher_end_to_end():
     with pytest.raises(ValueError, match="uint8"):
         l.train("sgd", UnifiedConfig(name="S_bad",
                                      fun_input_dtype="bfloat16", **cfg),
+                verbose=False)
+    # S-LBFGS is not wired for the narrow input — reject rather than
+    # silently running full-f32 while the config claims a u8 read
+    with pytest.raises(ValueError, match="slbfgs"):
+        l.train("slbfgs", UnifiedConfig(name="SL_bad",
+                                        fun_input_dtype="uint8", **cfg),
                 verbose=False)
