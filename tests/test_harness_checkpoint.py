@@ -268,6 +268,53 @@ def test_checkpoint_extra_saved_fields_is_structure_mismatch(tmp_path, monkeypat
     np.testing.assert_allclose(np.asarray(out["x"]), np.arange(3.0))
 
 
+def test_checkpoint_shim_failure_propagates_original_error(tmp_path, monkeypatch):
+    """When the migration shim's own template-free re-read fails, the
+    ORIGINAL structured-restore error is the diagnosable one — it must
+    propagate, with the shim failure attached as the cause, instead of the
+    shim failure replacing it."""
+    import pytest
+
+    import lbfgs_ffnn_tpu.checkpoint as cp
+
+    class FakeCkptr:
+        def restore(self, path, template=None):
+            if template is not None:
+                raise ValueError("structured restore failed")
+            raise OSError("template-free re-read also failed")
+
+    monkeypatch.setattr(cp, "_checkpointer", lambda: FakeCkptr())
+    with pytest.raises(ValueError, match="structured restore failed") as ei:
+        cp.restore_checkpoint(tmp_path / "c", {"x": jnp.zeros(3)})
+    assert isinstance(ei.value.__cause__, OSError)
+
+
+def test_checkpoint_sequence_as_dict_with_alien_keys(tmp_path, monkeypatch):
+    """A tuple field whose template-free read is a dict with non-"0"/"1"
+    keys is NOT that sequence: the overlay must fall back to the template
+    (and, the field being non-scalar, refuse the unsafe fill) instead of
+    mis-aligning elements or crashing on the sort key."""
+    import pytest
+
+    import lbfgs_ffnn_tpu.checkpoint as cp
+
+    class FakeCkptr:
+        def restore(self, path, template=None):
+            if template is not None:
+                raise ValueError("structure mismatch")
+            return {"x": np.arange(3.0), "seq": {"a": 1.0, "b": 2.0}}
+
+    monkeypatch.setattr(cp, "_checkpointer", lambda: FakeCkptr())
+    template = {"x": jnp.zeros(3), "seq": (jnp.zeros(2), jnp.zeros(2))}
+    with pytest.raises(ValueError, match="seq"):
+        cp.restore_checkpoint(tmp_path / "c", template)
+    with pytest.warns(UserWarning, match="seq"):
+        out = cp.restore_checkpoint(tmp_path / "c", template,
+                                    allow_partial=True)
+    np.testing.assert_allclose(np.asarray(out["x"]), np.arange(3.0))
+    assert isinstance(out["seq"], tuple) and len(out["seq"]) == 2
+
+
 def test_lbfgs_chunked_resume_recomputes_stale_prefix(tmp_path):
     """A resume state carrying a corrupted/stale prefix (the migration
     hazard) must be healed: lbfgs_chunked recomputes the prefix from the
