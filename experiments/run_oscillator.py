@@ -36,6 +36,9 @@ parser.add_argument("--seed", type=int, default=123,
                     help="init seed (the reference PINN init is UNSEEDED — "
                          "pinn_network.hpp:76 uses std::random_device — so "
                          "run-to-run parity is with the framework itself)")
+parser.add_argument("--no-warmup", action="store_true",
+                    help="skip the compile warm-up solve (the timed number "
+                         "then includes XLA compilation)")
 args = parser.parse_args()
 
 if args.f64:
@@ -62,6 +65,13 @@ prob = oscillator_problem(spec, w_ode=float(xs.shape[0]), w_bc=1.0)
 w0 = pinn_init(spec, jax.random.PRNGKey(args.seed), dtype=dtype)
 
 opts = LBFGSOptions(max_iters=args.iters, tol=args.tol, m=args.m)
+if not args.no_warmup:
+    # Timing protocol (CLAUDE.md): compile on a perturbed input first, then
+    # time a fresh-input execution synced by pulling a scalar — the axon
+    # runtime caches identical re-dispatches, so the warm-up uses a
+    # different init seed.
+    w_warm = pinn_init(spec, jax.random.PRNGKey(args.seed + 1), dtype=dtype)
+    _ = float(lbfgs(prob, w_warm, aux=xs, opts=opts).final_loss)
 t0 = time.perf_counter()
 res = lbfgs(prob, w0, aux=xs, opts=opts)
 final_loss = float(res.final_loss)  # forces sync through the tunnel
