@@ -47,6 +47,10 @@ class SGDOptions(NamedTuple):
     record_full: bool = True  # per-epoch full-batch loss/gradnorm recording
     sampler: str = "topk"     # "random" sampling's without-replacement
                               # draw: "topk" | "sort" (see ops/sampling.py)
+    scan_unroll: int = 1      # lax.scan unroll for the per-step epoch scan
+                              # (same math/trajectory; trades program size
+                              # for less scan loop machinery — measured in
+                              # scripts/diag_stochastic_step.py sgd_epoch)
     metric_fn: object = None  # optional (w, x, y, *metric_args) -> scalar
                               # or (k,) vector of metrics, recorded per
                               # epoch (e.g. train accuracy; reference plot
@@ -165,7 +169,8 @@ def _make_parts(problem: BatchProblem, opts: SGDOptions, N: int):
                     lambda k: sample_without_replacement(k, N, b, opts.sampler)
                 )(keys)
                 (w, v), losses = lax.scan(
-                    minibatch_random, (s.w, s.v), (ts, idx_all)
+                    minibatch_random, (s.w, s.v), (ts, idx_all),
+                    unroll=opts.scan_unroll,
                 )
                 # Batch-weighted mean over the m*b samples actually visited
                 # this epoch (random mode draws m = N//b full batches, so the
@@ -174,7 +179,8 @@ def _make_parts(problem: BatchProblem, opts: SGDOptions, N: int):
                 epoch_loss = jnp.sum(losses) / (m * b)
             else:
                 (w, v), losses = lax.scan(
-                    minibatch_sequential, (s.w, s.v), jnp.arange(m_full)
+                    minibatch_sequential, (s.w, s.v), jnp.arange(m_full),
+                    unroll=opts.scan_unroll,
                 )
                 wsum = jnp.sum(losses)
                 if rem:

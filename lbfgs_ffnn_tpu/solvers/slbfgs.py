@@ -94,6 +94,10 @@ class SLBFGSOptions(NamedTuple):
                                 # the data-parallel mesh mode, so it applies
                                 # there unchanged.
     metric_fn: object = None    # optional (w, x, y) -> scalar per-epoch metric
+    scan_unroll: int = 1        # lax.scan unroll for the inner vr_step scan
+                                # (same math/trajectory; trades program size
+                                # for less scan loop machinery — measured in
+                                # scripts/diag_stochastic_step.py)
 
 
 class _VecRing(NamedTuple):
@@ -501,7 +505,8 @@ def _make_parts(problem: BatchProblem, opts: SLBFGSOptions, N: int, mesh, axis: 
                         wr = _vr_push(wr, wt)
                         return (wt, wr), None
 
-                    (wt, wr), _ = lax.scan(vr_step, (wt, wr), (ts, idx_rows))
+                    (wt, wr), _ = lax.scan(vr_step, (wt, wr), (ts, idx_rows),
+                                           unroll=opts.scan_unroll)
                     return wt, wr
 
                 def pair_update(t_b, wt, wr, hist, u_prev, has_u):

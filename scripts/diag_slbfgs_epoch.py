@@ -32,6 +32,7 @@ parser.add_argument("--train-size", type=int, default=5000)
 parser.add_argument("--e1", type=int, default=60)
 parser.add_argument("--e2", type=int, default=180)
 parser.add_argument("--reps", type=int, default=3)
+parser.add_argument("--only", default="", help="substring filter on probe names")
 args = parser.parse_args()
 
 print(f"backend={jax.default_backend()} e1={args.e1} e2={args.e2}")
@@ -68,15 +69,28 @@ def epoch_slope(name, **kw):
     return ms
 
 
-base = epoch_slope("production (headline opts)")
-nor = epoch_slope("record_full=False", record_full=False)
-sort = epoch_slope("sampler=sort", sampler="sort")
-xla = epoch_slope("two_loop=xla", two_loop_impl="xla")
-L0 = epoch_slope("L=1000 (no curvature updates)", L=1000)
-fd = epoch_slope("hvp_mode=fd", hvp_mode="fd")
-m57 = epoch_slope("m_inner=57", m_inner=57)
-m19 = epoch_slope("m_inner=19 (explicit default)", m_inner=19)
+def maybe(name, **kw):
+    if args.only and args.only not in name:
+        return None
+    return epoch_slope(name, **kw)
 
-print(f"\nrecorder cost/epoch: {base - nor:.3f} ms")
-print(f"marginal inner-step cost (m_inner 19->57): {(m57 - m19) / 38 * 1e3:.1f} us")
-print(f"implied fixed per-epoch cost: {m19 - (m57 - m19) / 38 * 19:.3f} ms")
+
+base = maybe("production (headline opts)")
+nor = maybe("record_full=False", record_full=False)
+sort = maybe("sampler=sort", sampler="sort")
+xla = maybe("two_loop=xla", two_loop_impl="xla")
+L0 = maybe("L=1000 (no curvature updates)", L=1000)
+fd = maybe("hvp_mode=fd", hvp_mode="fd")
+m57 = maybe("m_inner=57", m_inner=57)
+m19 = maybe("m_inner=19 (explicit default)", m_inner=19)
+# scan_unroll: unrolls the L-step vr_step scan bodies (bit-identical
+# trajectories; tests/test_stochastic.py) — does less scan loop machinery
+# pay at the measured ~44 us/step?
+u2 = maybe("unroll=2", scan_unroll=2)
+u5 = maybe("unroll=5 (L/2)", scan_unroll=5)
+
+if base is not None and nor is not None:
+    print(f"\nrecorder cost/epoch: {base - nor:.3f} ms")
+if m57 is not None and m19 is not None:
+    print(f"marginal inner-step cost (m_inner 19->57): {(m57 - m19) / 38 * 1e3:.1f} us")
+    print(f"implied fixed per-epoch cost: {m19 - (m57 - m19) / 38 * 19:.3f} ms")

@@ -551,7 +551,7 @@ if "seq_take" in results and "seq_dynslice" in results:
 # epoch counts with tol=0 (so neither stops early) and reports the slope —
 # the marginal ms/epoch, directly comparable to the reference's RTT-free
 # per-epoch cudaEvent timing (src/cuda/sgd.cuh:79-86).
-def sgd_epoch_slope(record_acc: bool, u8: bool = False):
+def sgd_epoch_slope(record_acc: bool, u8: bool = False, unroll: int = 1):
     from lbfgs_ffnn_tpu.solvers.sgd import SGDOptions, sgd
     from lbfgs_ffnn_tpu.objectives.mlp import quantize_pixels
 
@@ -573,7 +573,7 @@ def sgd_epoch_slope(record_acc: bool, u8: bool = False):
     e1, e2 = 20, 60
     opt = {e: SGDOptions(epochs=e, batch_size=b, step_size=0.01, momentum=0.9,
                          sampling="sequential", lr_decay=0.8, lr_decay_step=40,
-                         tol=0.0, metric_fn=metric)
+                         tol=0.0, metric_fn=metric, scan_unroll=unroll)
            for e in (e1, e2)}
     for e in (e1, e2):
         _ = float(sgd(prob, w0 * (1.0 + 1e-6), x_in, y, opt[e],
@@ -588,7 +588,8 @@ def sgd_epoch_slope(record_acc: bool, u8: bool = False):
                           metric_args=margs).final_loss)
             best[e] = min(best[e], time.perf_counter() - t0)
     per = (best[e2] - best[e1]) / (e2 - e1)
-    tag = ("acc" if record_acc else "noacc") + ("+u8" if u8 else "")
+    tag = (("acc" if record_acc else "noacc") + ("+u8" if u8 else "")
+           + (f"+unroll{unroll}" if unroll != 1 else ""))
     print(f"sgd_epoch[{tag}]  {per * 1e3:9.3f} ms/epoch  "
           f"(t{e1}={best[e1] * 1e3:.1f} ms, t{e2}={best[e2] * 1e3:.1f} ms)")
     return per
@@ -598,3 +599,10 @@ if not args.probe or args.probe in "sgd_epoch":
     sgd_epoch_slope(record_acc=False)
     sgd_epoch_slope(record_acc=True)
     sgd_epoch_slope(record_acc=True, u8=True)
+
+# scan_unroll on the sequential epoch scan (bit-identical trajectories;
+# tests/test_stochastic.py): does less scan loop machinery pay at the
+# measured ~10.4 us/step?
+if args.probe and args.probe in "sgd_unroll":
+    for u in (1, 2, 4):
+        sgd_epoch_slope(record_acc=False, unroll=u)

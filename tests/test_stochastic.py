@@ -297,3 +297,38 @@ def test_slbfgs_pair_dtype_bf16():
     res_b = slbfgs(bp, w0, x, y, opts._replace(pair_dtype="bfloat16"))
     assert res_b.x.dtype == jnp.float32
     assert float(res_b.final_loss) < 1.15 * float(res_f.final_loss) + 1e-3
+
+
+def test_scan_unroll_bitwise_identical():
+    """SGDOptions/SLBFGSOptions(scan_unroll=k) unrolls the per-step epoch
+    scans — pure scheduling, so iterates AND recorded histories must be
+    bit-identical to unroll=1 for both SGD sampling modes and S-LBFGS."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lbfgs_ffnn_tpu.objectives.mlp import mlp_batch_problem, mlp_init, mlp_spec
+    from lbfgs_ffnn_tpu.solvers import SGDOptions, SLBFGSOptions, sgd, slbfgs
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(531, 20)))
+    y = jnp.asarray(rng.normal(size=(531, 4)))
+    spec = mlp_spec([20, 16, 4], ["relu", "linear"])
+    bp = mlp_batch_problem(spec, lam=1e-4)
+    w0 = mlp_init(spec, jax.random.PRNGKey(1), dtype=x.dtype)
+
+    for sampling in ("sequential", "random"):
+        o1 = SGDOptions(epochs=5, batch_size=64, momentum=0.9,
+                        sampling=sampling)
+        r1 = sgd(bp, w0, x, y, o1)
+        r4 = sgd(bp, w0, x, y, o1._replace(scan_unroll=4))
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r4.x))
+        np.testing.assert_array_equal(np.asarray(r1.loss_history),
+                                      np.asarray(r4.loss_history))
+
+    o1 = SLBFGSOptions(epochs=3, batch_size=64, history=5, L=3,
+                       step_size=0.02)
+    r1 = slbfgs(bp, w0, x, y, o1)
+    r3 = slbfgs(bp, w0, x, y, o1._replace(scan_unroll=3))
+    np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r3.x))
+    np.testing.assert_array_equal(np.asarray(r1.loss_history),
+                                  np.asarray(r3.loss_history))
